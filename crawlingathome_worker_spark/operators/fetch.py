@@ -1,0 +1,159 @@
+"""Fetch + decode stage: simulated HTTP GET, batch image decode, content filters.
+
+The reference fetches with a 192-connection async session and validates via PIL
+(crawlingathome.py:118-155, 99-115). In-sandbox there is no live network: the
+"web" is the `pairs` table, and a fetch is a LEFT JOIN scheduled→pairs on
+image_id (SURVEY.md §2.6 backpressure row). A missing/null match is a network
+failure (retryable, north_rule cuckoo slot); content rejections (too small /
+undecodable / wrong format / low score) are permanent, exactly partitioning the
+reference's silent `return None` paths into observable statuses.
+
+Decode runs once per image inside `mapInPandas` (Arrow batches) and yields
+width/height/format/ok AND the pHash + 64-d image feature in the same pass
+("decode once, reuse for pHash" — SURVEY.md §2.7). The per-image loop inside the
+batch is the img2dataset pattern: each iteration is whole-image numpy work, and
+there is no Spark row-at-a-time Python anywhere.
+
+Statuses: ok | error | too_small | undecodable | bad_format | low_score
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import fakeimg, phash
+from ..config import EngineConfig
+from ..functions.udfs import clip_score_udf, text_feature_udf
+
+_DECODE_FIELDS = [
+    StructField("w_dec", IntegerType()),
+    StructField("h_dec", IntegerType()),
+    StructField("fmt_dec", StringType()),
+    StructField("dec_ok", BooleanType()),
+    StructField("phash", LongType()),
+    StructField("img_feat", ArrayType(FloatType())),
+]
+
+
+def simulated_fetch(scheduled: DataFrame, pairs: DataFrame) -> DataFrame:
+    """LEFT JOIN on image_id stands in for the HTTP GET (crawlingathome.py:134).
+
+    `pairs` may be huge at design scale — this join shuffles both sides on
+    image_id (sort-merge / shuffled-hash, Catalyst's choice + AQE); scheduled is
+    the small side after politeness, so AQE usually demotes it to broadcast.
+    """
+    return scheduled.join(pairs.select("image_id", "bytes"), "image_id", "left")
+
+
+def with_decoded(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Batch-decode `bytes_col` → w_dec/h_dec/fmt_dec/dec_ok/phash/img_feat."""
+    out_schema = StructType(list(df.schema.fields) + _DECODE_FIELDS)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            w = [0] * n
+            h = [0] * n
+            fmt: list[str | None] = [None] * n
+            ok = [False] * n
+            ph: list[int | None] = [None] * n
+            feat: list[list[float] | None] = [None] * n
+            col = pdf[bytes_col]
+            for i in range(n):
+                b = col.iat[i]
+                if b is None:
+                    continue
+                dec = fakeimg.decode(bytes(b))
+                if dec is None:
+                    continue
+                f0, w0, h0, img = dec
+                fmt[i], w[i], h[i], ok[i] = f0, w0, h0, True
+                ph[i] = phash.phash64(img)
+                feat[i] = phash.image_feature(img).tolist()
+            pdf = pdf.copy()
+            pdf["w_dec"] = pd.array(w, dtype="int32")
+            pdf["h_dec"] = pd.array(h, dtype="int32")
+            pdf["fmt_dec"] = fmt
+            pdf["dec_ok"] = ok
+            pdf["phash"] = pd.array(ph, dtype="Int64")
+            pdf["img_feat"] = feat
+            yield pdf[in_cols + [f.name for f in _DECODE_FIELDS]]
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
+def classify_and_score(fetched: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Attach fetch status + CLIP-proxy score to every scheduled row.
+
+    Mirrors process_img_content's rejection ladder (crawlingathome.py:99-115) with
+    the reference's exact thresholds, then the CLIP-similarity gate the project
+    ran downstream (README.md:8) as a deterministic proxy scorer.
+    """
+    decoded = with_decoded(fetched)
+    decoded = decoded.withColumn(
+        "score",
+        F.when(
+            F.col("dec_ok"),
+            clip_score_udf(F.col("img_feat"), text_feature_udf(F.col("caption"))),
+        ).otherwise(F.lit(None).cast("float")),
+    )
+    status = (
+        F.when(F.col("bytes").isNull(), F.lit("error"))  # network failure → retryable
+        .when(F.length(F.col("bytes")) < cfg.min_image_bytes, F.lit("too_small"))  # F9 :103
+        .when(~F.col("dec_ok"), F.lit("undecodable"))  # F10 decode :106
+        .when(~F.col("fmt_dec").isin(*cfg.allowed_formats), F.lit("bad_format"))  # :110
+        .when(F.col("score") < F.lit(cfg.clip_threshold), F.lit("low_score"))
+        .otherwise(F.lit("ok"))
+    )
+    return decoded.withColumn("fetch_status", status)
+
+
+OUTPUT_COLS = [
+    "image_id",
+    "bytes",
+    "w",
+    "h",
+    "fmt",
+    "caption",
+    "phash",
+    "sample_id",
+    "url",
+    "license",
+    "score",
+]
+
+
+def output_rows(classified: DataFrame) -> DataFrame:
+    """Rows that survived everything, in the input_hint schema (+ provenance).
+
+    w/h/fmt come from the DECODE (crawlingathome.py:107-108 records PIL's
+    dimensions), not from any source-table metadata.
+    """
+    return classified.filter(F.col("fetch_status") == "ok").select(
+        F.col("image_id"),
+        F.col("bytes"),
+        F.col("w_dec").alias("w"),
+        F.col("h_dec").alias("h"),
+        F.col("fmt_dec").alias("fmt"),
+        F.col("caption"),
+        F.col("phash"),
+        F.col("sample_id"),
+        F.col("url"),
+        F.col("license"),
+        F.col("score"),
+    )

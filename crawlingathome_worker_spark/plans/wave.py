@@ -1,0 +1,166 @@
+"""The wave plan: one micro-batch of the frontier loop, end to end.
+
+Spark-first re-expression of the reference's job loop (crawlingathome.py:210-265,
+SURVEY.md §3 E1): each wave is ONE DataFrame DAG —
+
+  frontier ∪ parse(new WAT) → cross-wave canonical dedup → seen-set anti-join
+  → robots gate (broadcast) → politeness top-k per host → sample-id assignment
+  → simulated fetch (join pairs) → batch decode + filters + CLIP-proxy score
+  → append output snapshot + overwrite state tables + lineage metrics → commit.
+
+State lives in warehouse tables, never in executor memory, so a wave is resumable
+from any committed snapshot (north_rule). Expected shuffles per wave (SURVEY.md §4):
+(1) parse dedup window, (2) seen anti-join, (3) politeness windows, (4) range
+partition for sample ids, (5) fetch join — each keyed on the column it must be
+keyed on; robots and id-offsets are broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..config import EngineConfig
+from ..operators.dedup import seen_filter_exact
+from ..operators.fetch import classify_and_score, output_rows, simulated_fetch
+from ..operators.parse import parse_links
+from ..operators.politeness import politeness_split, robots_gate
+from ..operators.schedule import assign_sample_ids
+from ..state.bloom import bloom_add, bloom_filter_unseen, empty_bloom
+from ..state.snapshots import Warehouse
+
+FRONTIER_SCHEMA = (
+    "url string, canonical_url string, host string, caption string, license string,"
+    " pair_md5 string, image_id string, page_id bigint, pos int, wave_added int"
+)
+SEEN_SCHEMA = "pair_md5 string, kind string"
+RETRY_SCHEMA = "pair_md5 string"
+
+
+def _lineage(df: DataFrame) -> list[dict]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .orderBy("partition_id")
+        .collect()
+    )
+    return [{"partition_id": int(r["partition_id"]), "n": int(r["count"])} for r in rows]
+
+
+def run_wave(
+    spark: SparkSession,
+    wh: Warehouse,
+    cfg: EngineConfig,
+    pairs: DataFrame,
+    robots: DataFrame,
+    wat_links: DataFrame | None = None,
+    collect_lineage: bool = True,
+) -> dict:
+    """Execute one wave; commit a snapshot; return the manifest."""
+    parent = wh.latest()
+    manifest = wh.new_manifest(parent)
+    wave_no = manifest["wave_no"] = (parent["wave_no"] + 1) if parent else 1
+    snap_id = manifest["snapshot_id"]
+    start_id = manifest["next_sample_id"]
+
+    frontier = wh.read_table(spark, parent, "frontier", FRONTIER_SCHEMA)
+    seen_keys = wh.read_table(spark, parent, "seen_keys", SEEN_SCHEMA)
+    retry_keys = wh.read_table(spark, parent, "retry_keys", RETRY_SCHEMA)
+
+    # 1. parse new WAT records into candidates (SURVEY.md §2.2)
+    if wat_links is not None:
+        new_cands = parse_links(wat_links, cfg).withColumn("wave_added", F.lit(wave_no))
+    else:
+        new_cands = spark.createDataFrame([], FRONTIER_SCHEMA)
+
+    # 2. merge with deferred frontier; cross-wave first-occurrence dedup on the
+    #    CANONICAL url (north_rule T6) — older wave wins, then document order.
+    cands = frontier.unionByName(new_cands)
+    w_can = Window.partitionBy("canonical_url").orderBy("wave_added", "page_id", "pos")
+    cands = (
+        cands.withColumn("_rn", F.row_number().over(w_can))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # 3. global seen-set anti-join (J2/J3) with retry override (J5)
+    if cfg.dedup_mode == "bloom":
+        bloom = wh.read_table(spark, parent, "bloom_state")
+        if bloom is None:
+            bloom = empty_bloom(spark, cfg.bloom)
+        unseen = bloom_filter_unseen(cands, bloom, cfg.bloom, key="pair_md5")
+        # retry override is exact in both modes (cuckoo holds few keys)
+        if retry_keys is not None:
+            retried = cands.join(retry_keys, "pair_md5", "left_semi")
+            unseen = unseen.unionByName(retried).dropDuplicates(["canonical_url"])
+    else:
+        unseen = seen_filter_exact(cands, seen_keys, retry_keys)
+
+    # 4. robots gate (broadcast join, J6) + politeness top-k per host (O1)
+    gated = robots_gate(unseen, robots, cfg)
+    scheduled, deferred = politeness_split(gated, wave_no, cfg)
+
+    # 5. contiguous sample ids in priority order (W1) — scale-safe assignment
+    scheduled = assign_sample_ids(scheduled, start_id)
+
+    # 6. simulated fetch + decode + filters + score (F9/F10 + CLIP proxy)
+    fetched = simulated_fetch(scheduled, pairs)
+    classified = classify_and_score(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    out = output_rows(classified).orderBy("sample_id")
+
+    # 7. state updates
+    attempted = classified.select("pair_md5", "fetch_status")
+    new_seen = seen_keys.unionByName(
+        attempted.select("pair_md5").distinct().withColumn("kind", F.lit("parsed"))
+    ).dropDuplicates(["pair_md5", "kind"])
+
+    if cfg.reference_strict:
+        new_retry = retry_keys  # reference loses retries (B3) — keep state as-is
+    else:
+        failures = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
+        resolved = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
+        new_retry = (
+            retry_keys.unionByName(failures).distinct().join(resolved, "pair_md5", "left_anti")
+        )
+
+    # 8. lineage + counters (A1, north_rule per-partition granularity)
+    n_scheduled = scheduled.count()
+    counters = {
+        "candidates": cands.count(),
+        "unseen": unseen.count(),
+        "scheduled": n_scheduled,
+        "deferred": deferred.count(),
+        "fetched_ok": classified.filter(F.col("fetch_status") == "ok").count(),
+        "rejected": classified.filter(~F.col("fetch_status").isin("ok", "error")).count(),
+        "errors": classified.filter(F.col("fetch_status") == "error").count(),
+    }
+    manifest["counters"] = counters
+    if collect_lineage:
+        manifest["lineage"] = {
+            "scheduled": _lineage(scheduled),
+            "output": _lineage(out),
+        }
+
+    # 9. write tables + atomic commit
+    tables = manifest["tables"]
+    tables["frontier"] = [wh.write_table(deferred.select(*frontier.columns), "frontier", snap_id)]
+    tables["seen_keys"] = [wh.write_table(new_seen, "seen_keys", snap_id)]
+    tables["retry_keys"] = [wh.write_table(new_retry, "retry_keys", snap_id)]
+    if cfg.dedup_mode == "bloom":
+        new_bloom = bloom_add(bloom, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
+        tables["bloom_state"] = [wh.write_table(new_bloom, "bloom_state", snap_id)]
+    tables.setdefault("pairs_out", []).append(wh.write_table(out, "pairs_out", snap_id))
+
+    metrics = spark.createDataFrame(
+        [(wave_no, k, int(v)) for k, v in counters.items()],
+        "wave_no int, counter string, value long",
+    )
+    tables.setdefault("metrics", []).append(wh.write_table(metrics, "metrics", snap_id))
+
+    manifest["next_sample_id"] = start_id + n_scheduled
+    wh.commit(manifest)
+    cands.unpersist()
+    classified.unpersist()
+    return manifest

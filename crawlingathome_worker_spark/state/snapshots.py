@@ -1,0 +1,112 @@
+"""Iceberg-style snapshot warehouse: Parquet data files + atomic JSON manifests.
+
+No Iceberg runtime jar ships in this container (SURVEY.md §7.4), so the engine
+emulates the properties the north_rule actually needs — atomic append snapshots,
+resumability from the latest committed snapshot, per-snapshot lineage counters —
+with plain Parquet directories plus a JSON manifest per snapshot committed via
+write-temp-then-rename (atomic on POSIX). Swapping in real Iceberg is a sink-layer
+change only: `write_table` → `df.writeTo(...).append()` and `manifest` → Iceberg's
+own snapshot metadata.
+
+Manifest shape:
+{
+  "snapshot_id": 3, "parent": 2, "wave_no": 3, "next_sample_id": 1234,
+  "tables":   {"frontier": ["tables/frontier/snap000003"], "pairs_out": [<all appended dirs>]},
+  "counters": {"candidates": 100, "scheduled": 80, ...},
+  "lineage":  {"scheduled": [{"partition_id": 0, "n": 13}, ...]}
+}
+
+A table is OVERWRITE-versioned (frontier, seen_keys, retry_keys, bloom, cuckoo):
+the manifest points at exactly one directory. `pairs_out` and `metrics` are
+APPEND tables: the manifest carries the full list of data directories, so a read
+is a multi-path parquet scan and an uncommitted wave's files are simply invisible
+(crash-safe exactly-once, replacing the reference's wipe-and-rerun idempotence,
+crawlingathome.py:221-225).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+APPEND_TABLES = frozenset({"pairs_out", "metrics"})
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+
+    # -- manifests ----------------------------------------------------------
+    def _snap_path(self, snap_id: int) -> str:
+        return os.path.join(self.root, "snapshots", f"{snap_id:06d}.json")
+
+    def latest(self) -> dict | None:
+        snaps = sorted(os.listdir(os.path.join(self.root, "snapshots")))
+        if not snaps:
+            return None
+        with open(os.path.join(self.root, "snapshots", snaps[-1])) as f:
+            return json.load(f)
+
+    def commit(self, manifest: dict) -> None:
+        """Atomic: the snapshot exists iff the rename completed."""
+        path = self._snap_path(manifest["snapshot_id"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    # -- tables --------------------------------------------------------------
+    def write_table(self, df: DataFrame, name: str, snap_id: int) -> str:
+        rel = os.path.join("tables", name, f"snap{snap_id:06d}")
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def table_paths(self, manifest: dict | None, name: str) -> list[str]:
+        if manifest is None:
+            return []
+        return [os.path.join(self.root, rel) for rel in manifest["tables"].get(name, [])]
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        manifest: dict | None,
+        name: str,
+        schema: StructType | str | None = None,
+    ) -> DataFrame | None:
+        """DataFrame over all committed data dirs of `name`; None if absent."""
+        paths = self.table_paths(manifest, name)
+        if not paths:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return None
+        return spark.read.parquet(*paths)
+
+    def new_manifest(self, parent: dict | None) -> dict:
+        if parent is None:
+            return {
+                "snapshot_id": 0,
+                "parent": None,
+                "wave_no": 0,
+                "next_sample_id": 0,
+                "tables": {},
+                "counters": {},
+                "lineage": {},
+            }
+        m = {
+            "snapshot_id": parent["snapshot_id"] + 1,
+            "parent": parent["snapshot_id"],
+            "wave_no": parent["wave_no"],
+            "next_sample_id": parent["next_sample_id"],
+            # append tables carry history forward; overwrite tables get replaced
+            "tables": {k: list(v) for k, v in parent["tables"].items() if k in APPEND_TABLES},
+            "counters": {},
+            "lineage": {},
+        }
+        return m
