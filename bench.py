@@ -1,0 +1,163 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports throughput for the frontier wave (URLs scheduled/sec, pairs
+filtered/sec) — the BASELINE.json target metric — under "throughput".
+
+Usage:
+  python bench.py                 # headline bench, one JSON line to stdout
+  python bench.py --scaling       # local[8] vs local[32] scaling-efficiency run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_FIXTURE_SCALE = float(os.environ.get("BENCH_FIXTURE_SCALE", "8"))
+
+
+def _fixture_dir(scale: float) -> str:
+    from crawlingathome_worker_spark.sources.fixtures import ensure_fixtures
+
+    return ensure_fixtures(os.path.join(REPO, ".fixtures"), scale=scale)
+
+
+def _wave_bench(spark, fx_dir, cfg):
+    """One full frontier wave (no warehouse I/O): returns (sec, counts)."""
+    from pyspark.sql import functions as F
+
+    from crawlingathome_worker_spark.operators.fetch import classify_and_score, simulated_fetch
+    from crawlingathome_worker_spark.operators.parse import parse_links
+    from crawlingathome_worker_spark.operators.politeness import politeness_split, robots_gate
+    from crawlingathome_worker_spark.operators.schedule import assign_sample_ids
+
+    links = spark.read.parquet(os.path.join(fx_dir, "wat_links.parquet"))
+    robots = spark.read.parquet(os.path.join(fx_dir, "robots.parquet"))
+    pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
+    t0 = time.perf_counter()
+    cands = parse_links(links, cfg)
+    gated = robots_gate(cands, robots, cfg)
+    scheduled, _deferred = politeness_split(gated, wave_no=1, cfg=cfg)
+    scheduled = assign_sample_ids(scheduled, start_id=0)
+    classified = classify_and_score(simulated_fetch(scheduled, pairs), cfg)
+    agg = classified.agg(
+        F.count(F.lit(1)).alias("scheduled"),
+        F.sum((F.col("fetch_status") == "ok").cast("long")).alias("ok"),
+    ).collect()[0]
+    sec = time.perf_counter() - t0
+    scheduled.unpersist()
+    return sec, {"scheduled": int(agg["scheduled"]), "ok": int(agg["ok"])}
+
+
+def run_headline() -> dict:
+    import __spark_entry__ as entrymod
+    from crawlingathome_worker_spark.config import EngineConfig
+    from crawlingathome_worker_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    fx_dir = _fixture_dir(BENCH_FIXTURE_SCALE)
+    spark = get_spark(app_name="cah-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    qs = entrymod.queries()
+    headline = [
+        "q01_url_blocklist", "q02_license_asof", "q05_politeness_topk",
+        "q07_sample_ids", "q10_tpch_q1", "q11_tpch_q3", "q12_tpch_q5",
+        "q14_hourly_window", "q15_dedup_exact_docs", "q18_text_quality",
+        "q20_minhash_lsh_pairs", "q21_simhash_pairs", "q23_ann_topk",
+        "q26_embedding_neardup",
+    ]
+    per_q: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        per_q[name] = round(time.perf_counter() - t0, 3)
+
+    # frontier wave on the bench-scale fixture: the BASELINE.json target metric
+    cfg = EngineConfig(default_host_budget=100_000, wave_seconds=0.0)
+    wave_sec, counts = _wave_bench(spark, fx_dir, cfg)
+    per_q["wave_frontier"] = round(wave_sec, 3)
+
+    # image decode throughput (Arrow batch decode over the pairs fixture)
+    from crawlingathome_worker_spark.operators.fetch import with_decoded
+
+    pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
+    n_imgs = pairs.count()
+    t0 = time.perf_counter()
+    with_decoded(pairs.select("image_id", "bytes")).filter("dec_ok").count()
+    dec_sec = time.perf_counter() - t0
+    per_q["image_decode"] = round(dec_sec, 3)
+
+    total = round(sum(per_q.values()), 3)
+    result = {
+        "metric": "frontier wave + pipeline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": per_q,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "throughput": {
+            "urls_scheduled_per_sec": round(counts["scheduled"] / wave_sec, 1),
+            "pairs_filtered_per_sec": round(counts["ok"] / wave_sec, 1),
+            "images_decoded_per_sec": round(n_imgs / dec_sec, 1),
+            "fixture_scale": BENCH_FIXTURE_SCALE,
+        },
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(levels=(8, 32), waves: int = 2) -> dict:
+    """Same job at two parallelism levels on IDENTICAL input → scaling efficiency.
+
+    In-sandbox evidence for the north_rule's two-cluster-size criterion
+    (local[8] vs local[32] stands in for N vs 4N executors)."""
+    from crawlingathome_worker_spark.config import EngineConfig
+    from crawlingathome_worker_spark.session import get_spark
+
+    fx_dir = _fixture_dir(BENCH_FIXTURE_SCALE)
+    cfg = EngineConfig(default_host_budget=100_000, wave_seconds=0.0)
+    out = {}
+    for cores in levels:
+        spark = get_spark(
+            app_name=f"cah-scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+        )
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        _wave_bench(spark, fx_dir, cfg)  # warmup wave (JIT, Arrow init)
+        best = None
+        for _ in range(waves):
+            sec, counts = _wave_bench(spark, fx_dir, cfg)
+            if best is None or sec < best[0]:
+                best = (sec, counts)
+        sec, counts = best
+        out[cores] = {
+            "sec": round(sec, 3),
+            "scheduled": counts["scheduled"],
+            "ok": counts["ok"],
+            "urls_per_sec": round(counts["scheduled"] / sec, 1),
+            "pairs_per_sec": round(counts["ok"] / sec, 1),
+        }
+        spark.stop()
+    lo, hi = levels
+    speedup = out[hi]["urls_per_sec"] / out[lo]["urls_per_sec"]
+    out["speedup"] = round(speedup, 3)
+    out["scaling_efficiency"] = round(speedup / (hi / lo), 3)
+    out["fixture_scale"] = BENCH_FIXTURE_SCALE
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

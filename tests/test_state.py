@@ -1,0 +1,116 @@
+"""State-structure tests: partitioned bloom (FPR, no-false-negatives), cuckoo
+(insert/delete/reinsert — the B3 fix), snapshot resume equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlingathome_worker_spark.config import BloomParams, CuckooParams, EngineConfig
+from crawlingathome_worker_spark.plans.wave import run_wave
+from crawlingathome_worker_spark.state.bloom import (
+    bloom_add,
+    bloom_fill_ratio,
+    bloom_filter_unseen,
+    empty_bloom,
+)
+from crawlingathome_worker_spark.state.cuckoo import cuckoo_members, cuckoo_update, empty_cuckoo
+from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+from .oracle import load_fixture_inputs
+
+
+def _keys(spark, prefix, n):
+    return spark.range(n).select(
+        F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))).alias("pair_md5")
+    )
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    params = BloomParams(capacity=50_000, fpr=1e-3, partitions=4)
+    state = empty_bloom(spark, params)
+    added = _keys(spark, "in-", 20_000)
+    state = bloom_add(state, added, params).persist()
+    # no false negatives: every added key must be 'seen'
+    assert bloom_filter_unseen(added, state, params).count() == 0
+    # false-positive rate ≤ 2× nominal on disjoint keys (SURVEY.md §5 property 5)
+    probe = _keys(spark, "out-", 20_000)
+    unseen = bloom_filter_unseen(probe, state, params).count()
+    fp_rate = (20_000 - unseen) / 20_000
+    assert fp_rate <= 2 * params.fpr
+    assert 0.0 < bloom_fill_ratio(state) < 0.5
+    state.unpersist()
+
+
+def test_bloom_add_is_idempotent_and_preserves_partitions(spark):
+    params = BloomParams(capacity=10_000, fpr=1e-3, partitions=4)
+    s1 = bloom_add(empty_bloom(spark, params), _keys(spark, "a-", 1000), params)
+    s2 = bloom_add(s1, _keys(spark, "a-", 1000), params)
+    b1 = {r["part"]: bytes(r["bits"]) for r in s1.collect()}
+    b2 = {r["part"]: bytes(r["bits"]) for r in s2.collect()}
+    assert b1 == b2  # re-adding the same keys changes nothing
+    assert sorted(b1) == list(range(params.partitions))  # all partitions survive
+
+
+def test_cuckoo_insert_delete_reinsert(spark):
+    """The retry-slot lifecycle that fixes B3 (crawlingathome.py:148-154)."""
+    params = CuckooParams(buckets_per_partition=1 << 10, partitions=2)
+    state = empty_cuckoo(spark, params)
+    ks = _keys(spark, "r-", 500).persist()
+    state = cuckoo_update(state, inserts=ks, deletes=None, params=params).persist()
+    assert cuckoo_members(ks, state, params).count() == 500  # all present
+    # delete half
+    half = ks.limit(250).persist()
+    state2 = cuckoo_update(state, inserts=None, deletes=half, params=params).persist()
+    assert cuckoo_members(half, state2, params).count() == 0
+    rest = ks.join(half, "pair_md5", "left_anti")
+    assert cuckoo_members(rest, state2, params).count() == 250
+    # reinsert the deleted half — deletability is the whole point (J5)
+    state3 = cuckoo_update(state2, inserts=half, deletes=None, params=params)
+    assert cuckoo_members(ks, state3, params).count() == 500
+
+
+def test_cuckoo_low_false_positive(spark):
+    params = CuckooParams(buckets_per_partition=1 << 12, partitions=2)
+    ks = _keys(spark, "in-", 2000)
+    state = cuckoo_update(empty_cuckoo(spark, params), ks, None, params)
+    other = _keys(spark, "out-", 5000)
+    fp = cuckoo_members(other, state, params).count()
+    assert fp / 5000 < 0.01  # 16-bit fingerprints ⇒ ~2*4/2^16 ≈ 1.2e-4 expected
+
+
+@pytest.mark.slow
+def test_resume_equals_uninterrupted(spark, fx_dir, tmp_path_factory):
+    """North_rule resumability: wave1 → NEW Warehouse instance on the same root
+    (a fresh process, as far as state is concerned) → wave2 ≡ two-wave run."""
+    cfg = EngineConfig(default_host_budget=20, wave_seconds=30.0)
+    links_df = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    pairs_df = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots_df = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    mid = 200
+    s0 = links_df.filter(F.col("page_id") < mid)
+    s1 = links_df.filter(F.col("page_id") >= mid)
+
+    root_a = str(tmp_path_factory.mktemp("wh_resume"))
+    run_wave(spark, Warehouse(root_a), cfg, pairs_df, robots_df, s0, collect_lineage=False)
+    # simulate restart: brand-new Warehouse over the same directory
+    m_a = run_wave(spark, Warehouse(root_a), cfg, pairs_df, robots_df, s1, collect_lineage=False)
+
+    root_b = str(tmp_path_factory.mktemp("wh_straight"))
+    wh_b = Warehouse(root_b)
+    run_wave(spark, wh_b, cfg, pairs_df, robots_df, s0, collect_lineage=False)
+    m_b = run_wave(spark, wh_b, cfg, pairs_df, robots_df, s1, collect_lineage=False)
+
+    assert m_a["counters"] == m_b["counters"]
+    assert m_a["next_sample_id"] == m_b["next_sample_id"]
+    wh_a = Warehouse(root_a)
+    out_a = {
+        (r["sample_id"], r["url"], r["caption"], r["phash"])
+        for r in wh_a.read_table(spark, wh_a.latest(), "pairs_out").collect()
+    }
+    out_b = {
+        (r["sample_id"], r["url"], r["caption"], r["phash"])
+        for r in wh_b.read_table(spark, wh_b.latest(), "pairs_out").collect()
+    }
+    assert out_a == out_b
+    seen_a = {r["pair_md5"] for r in wh_a.read_table(spark, wh_a.latest(), "seen_keys").collect()}
+    seen_b = {r["pair_md5"] for r in wh_b.read_table(spark, wh_b.latest(), "seen_keys").collect()}
+    assert seen_a == seen_b
