@@ -31,6 +31,20 @@ def _fixture_dir(scale: float) -> str:
     return ensure_fixtures(os.path.join(REPO, ".fixtures"), scale=scale)
 
 
+def _warmup(spark) -> None:
+    """JVM + Python-worker-pool warmup so timings measure the job, not imports."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s):
+        return s
+
+    spark.range(1_000_000).repartition(spark.sparkContext.defaultParallelism).select(
+        F.sum(_noop(F.col("id")))
+    ).collect()
+
+
 def _wave_bench(spark, fx_dir, cfg):
     """One full frontier wave (no warehouse I/O): returns (sec, counts)."""
     from pyspark.sql import functions as F
@@ -40,7 +54,10 @@ def _wave_bench(spark, fx_dir, cfg):
     from crawlingathome_worker_spark.operators.politeness import politeness_split, robots_gate
     from crawlingathome_worker_spark.operators.schedule import assign_sample_ids
 
-    links = spark.read.parquet(os.path.join(fx_dir, "wat_links.parquet"))
+    cpus = spark.sparkContext.defaultParallelism
+    # the fixture is one small file; a real WAT shard set arrives as many input
+    # splits — repartition to restore the parallelism the scale target has
+    links = spark.read.parquet(os.path.join(fx_dir, "wat_links.parquet")).repartition(cpus)
     robots = spark.read.parquet(os.path.join(fx_dir, "robots.parquet"))
     pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
     t0 = time.perf_counter()
@@ -67,7 +84,7 @@ def run_headline() -> dict:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     fx_dir = _fixture_dir(BENCH_FIXTURE_SCALE)
     spark = get_spark(app_name="cah-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    _warmup(spark)
 
     qs = entrymod.queries()
     headline = [
@@ -84,15 +101,18 @@ def run_headline() -> dict:
         df.count()
         per_q[name] = round(time.perf_counter() - t0, 3)
 
-    # frontier wave on the bench-scale fixture: the BASELINE.json target metric
+    # frontier wave on the bench-scale fixture: the BASELINE.json target metric.
+    # First run warms the Python-worker pipeline stages; steady-state is reported
+    # (a production frontier loop runs thousands of waves per session).
     cfg = EngineConfig(default_host_budget=100_000, wave_seconds=0.0)
+    _wave_bench(spark, fx_dir, cfg)
     wave_sec, counts = _wave_bench(spark, fx_dir, cfg)
     per_q["wave_frontier"] = round(wave_sec, 3)
 
     # image decode throughput (Arrow batch decode over the pairs fixture)
     from crawlingathome_worker_spark.operators.fetch import with_decoded
 
-    pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
+    pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet")).repartition(int(cpus))
     n_imgs = pairs.count()
     t0 = time.perf_counter()
     with_decoded(pairs.select("image_id", "bytes")).filter("dec_ok").count()
@@ -132,7 +152,7 @@ def run_scaling(levels=(8, 32), waves: int = 2) -> dict:
         spark = get_spark(
             app_name=f"cah-scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
         )
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        _warmup(spark)
         _wave_bench(spark, fx_dir, cfg)  # warmup wave (JIT, Arrow init)
         best = None
         for _ in range(waves):

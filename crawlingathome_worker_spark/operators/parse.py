@@ -21,20 +21,19 @@ pandas UDFs, which is what we want.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from functools import reduce
 from operator import or_
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..config import EngineConfig
-from ..functions.udfs import (
-    absolutize_udf,
-    canonicalize_udf,
-    detect_lang_udf,
-    host_udf,
-    normalize_caption_udf,
-)
+from ..functions.langid import detect_lang
+from ..functions.textfix import normalize_caption
+from ..functions.urls import absolutize, canonicalize, host_of
 
 CANDIDATE_COLS = [
     "url",
@@ -74,12 +73,11 @@ def parse_links(links: DataFrame, cfg: EngineConfig) -> DataFrame:
 
     # F5 (crawlingathome.py:53-54)
     df = df.filter(F.col("alt").isNotNull() & (F.col("alt") != ""))
-    # T2 (crawlingathome.py:56)
-    df = df.withColumn("caption", normalize_caption_udf(F.col("alt")))
-    # F8 (crawlingathome.py:58-63)
-    df = df.filter(detect_lang_udf(F.col("caption")) == "en")
-    # T3 (crawlingathome.py:66-67)
-    df = df.withColumn("url", absolutize_udf(F.col("page_url"), F.col("link_url")))
+    # T2 + F8 + T3 + T6 + host in ONE fused Arrow pass (one Python round-trip
+    # instead of five chained pandas UDFs — the string semantics are identical,
+    # the modules are the same ones tests/oracle.py imports)
+    df = _enrich(df)
+    df = df.filter(F.col("lang") == "en").drop("lang")  # F8 (crawlingathome.py:58-63)
     # T4 (crawlingathome.py:68) — JVM-side md5 over UTF-8 bytes, bit-identical
     df = df.withColumn("pair_md5", F.md5(F.concat(F.col("url"), F.col("caption"))))
     # F6 substring blocklist (crawlingathome.py:40, 71-73) + F7 length (74)
@@ -95,8 +93,41 @@ def parse_links(links: DataFrame, cfg: EngineConfig) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-
-    # T6 north_rule canonical form + politeness partitioning key
-    df = df.withColumn("canonical_url", canonicalize_udf(F.col("url")))
-    df = df.withColumn("host", host_udf(F.col("url")))
     return df.select(*CANDIDATE_COLS)
+
+
+_ENRICH_FIELDS = [
+    StructField("caption", StringType()),
+    StructField("lang", StringType()),
+    StructField("url", StringType()),
+    StructField("canonical_url", StringType()),
+    StructField("host", StringType()),
+]
+
+
+def _enrich(df: DataFrame) -> DataFrame:
+    """Fused T2/F8/T3/T6 string pass: caption normalize, language id, urljoin
+    absolutize, canonicalize, host — one mapInPandas, one Arrow round-trip."""
+    out_schema = StructType(list(df.schema.fields) + _ENRICH_FIELDS)
+    in_cols = [f.name for f in df.schema.fields]
+    new_cols = [f.name for f in _ENRICH_FIELDS]
+
+    def enrich_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            caps, langs, urls, canons, hosts = [], [], [], [], []
+            for page_url, link_url, alt in zip(
+                pdf["page_url"], pdf["link_url"], pdf["alt"]
+            ):
+                cap = normalize_caption(alt)  # crawlingathome.py:56
+                caps.append(cap)
+                langs.append(detect_lang(cap))  # :58-63
+                u = absolutize(page_url, link_url)  # :47, 66-67
+                urls.append(u)
+                canons.append(canonicalize(u))  # north_rule T6
+                hosts.append(host_of(u))
+            pdf = pdf.copy()
+            pdf["caption"], pdf["lang"], pdf["url"] = caps, langs, urls
+            pdf["canonical_url"], pdf["host"] = canons, hosts
+            yield pdf[in_cols + new_cols]
+
+    return df.mapInPandas(enrich_batches, out_schema)

@@ -1,0 +1,63 @@
+"""Job loop: the reference's `while True: newJob → 2 shards → complete` cycle
+(crawlingathome.py:210-265) as a driver loop over wave snapshots.
+
+No tracker exists: the shard list IS the job queue, and the warehouse manifest
+IS the completion record. A crash anywhere resumes from the last committed
+snapshot (tested in tests/test_state.py); re-running a committed shard is a
+no-op for state tables because every key-add is idempotent and pairs_out
+append dirs are manifest-gated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import EngineConfig
+from ..state.snapshots import Warehouse
+from .wave import run_wave
+
+
+def run_job(
+    spark: SparkSession,
+    wh: Warehouse,
+    cfg: EngineConfig,
+    shards: Iterable[DataFrame],
+    pairs: DataFrame,
+    robots: DataFrame,
+    drain_waves: int = 0,
+    collect_lineage: bool = False,
+) -> list[dict]:
+    """Process every WAT shard as one wave each, then `drain_waves` extra waves
+    with no new input (flushing the deferred frontier through politeness)."""
+    manifests = []
+    done = {m["wave_no"] for m in _committed(wh)}
+    for i, shard in enumerate(shards, start=1):
+        if i in done:  # already committed by a previous run — resume semantics
+            continue
+        manifests.append(
+            run_wave(spark, wh, cfg, pairs, robots, shard, collect_lineage=collect_lineage)
+        )
+    for _ in range(drain_waves):
+        manifests.append(
+            run_wave(spark, wh, cfg, pairs, robots, None, collect_lineage=collect_lineage)
+        )
+    return manifests
+
+
+def _committed(wh: Warehouse) -> list[dict]:
+    m = wh.latest()
+    out = []
+    while m is not None:
+        out.append(m)
+        parent = m.get("parent")
+        if parent is None:
+            break
+        import json
+        import os
+
+        path = os.path.join(wh.root, "snapshots", f"{parent:06d}.json")
+        with open(path) as f:
+            m = json.load(f)
+    return out

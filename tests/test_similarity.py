@@ -1,0 +1,61 @@
+"""ANN operators: brute-force exactness vs numpy, LSH recall, near-dup planting."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawlingathome_worker_spark.operators.similarity import (
+    brute_force_topk,
+    knn_self_join,
+    lsh_bucketed_topk,
+    with_lsh_signature,
+)
+
+
+def _embeddings(spark, n=300, dim=32, seed=9, plant_dups=True):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    if plant_dups:
+        vecs[1] = vecs[0] + rng.standard_normal(dim) * 0.01  # near-dup of 0
+        vecs[2] = vecs[0]  # exact dup of 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_brute_force_matches_numpy(spark):
+    df, vecs = _embeddings(spark, plant_dups=False)
+    q = vecs[0]
+    got = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(df, q, k=5).collect()]
+    # numpy truth on the SAME float32-rounded embeddings Spark stored
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    sims = (v32 @ (q / np.linalg.norm(q))) / np.linalg.norm(v32, axis=1)
+    want_ids = list(np.argsort(-sims, kind="stable")[:5])
+    assert [g[0] for g in got] == [int(i) for i in want_ids]
+    for (gid, gc) in got:
+        assert abs(gc - sims[gid]) < 1e-6
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    df, vecs = _embeddings(spark)
+    q = vecs[0]
+    got = [r["vec_id"] for r in lsh_bucketed_topk(df, q, k=3, n_planes=10).collect()]
+    # the exact dup (2) and near dup (1) share the query's bucket by construction
+    assert got[0] in (0, 2)  # cosine 1.0 ties broken by id
+    assert {0, 1, 2} & set(got)
+
+
+def test_lsh_signature_collision_for_identical(spark):
+    df, _ = _embeddings(spark)
+    sigs = {r["vec_id"]: r["lsh_sig"] for r in with_lsh_signature(df, 32).collect()}
+    assert sigs[0] == sigs[2]  # identical vectors, identical signature
+
+
+def test_knn_self_join_finds_neardups(spark):
+    df, _ = _embeddings(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in knn_self_join(df, threshold=0.95).collect()}
+    assert (0, 2) in pairs and abs(pairs[(0, 2)] - 1.0) < 1e-9
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
+    # random 32-d vectors essentially never exceed 0.95 cosine
+    assert all({a, b} <= {0, 1, 2} for (a, b) in pairs)

@@ -1,0 +1,107 @@
+"""Text dedup + analysis operators vs hand-computed / pure-python expectations."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawlingathome_worker_spark.operators.textdedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from crawlingathome_worker_spark.operators.textstats import (
+    with_bpe_estimate,
+    with_lang_pred,
+    with_quality,
+    with_token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat near the river bank today"),  # near dup of 0
+    (3, "completely different words about mountain snow ice wind cold winter storm"),
+    (4, "another unrelated document with table scan join merge sort hash group"),
+    (5, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    groups = {r["keeper"]: r["n_dups"] for r in exact_dedup_groups(_docs(spark)).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    kept = {r["doc_id"] for r in exact_dedup(_docs(spark)).collect()}
+    assert kept == {0, 2, 3, 4, 5}  # first-id-wins
+
+
+def test_minhash_estimates_jaccard(spark):
+    sigs = minhash_signatures(_docs(spark), num_perm=128, shingle_len=3)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(sigs, bands=32, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs → identical signatures
+    assert (0, 2) in pairs  # near-dup found via banding
+    # true 3-shingle jaccard of (0,2): 13 shingles each, differing around 1 token
+    assert 0.3 <= pairs[(0, 2)] <= 0.9
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(_docs(spark)).collect()}
+    assert fps[0] == fps[1]  # identical text → identical fingerprint
+    near = bin((fps[0] ^ fps[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    far = bin((fps[0] ^ fps[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert near < far
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(simhash_fingerprints(_docs(spark)), max_hamming=near).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+def test_ngram_jaccard_exact(spark):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.1).collect()
+    }
+    # pure-python truth
+    def grams(t, n=3):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    for (a, b), j in got.items():
+        ga, gb = grams(DOCS[a][1]), grams(DOCS[b][1])
+        true_j = len(ga & gb) / len(ga | gb)
+        assert abs(j - true_j) < 1e-9, (a, b)
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got
+
+
+def test_token_count_and_quality(spark):
+    rows = {r["doc_id"]: r for r in with_quality(with_token_count(_docs(spark))).collect()}
+    assert rows[0]["n_tokens"] == len(DOCS[0][1].split())
+    assert rows[5]["n_tokens"] == 0
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+    assert rows[0]["stopword_ratio"] > rows[3]["stopword_ratio"]  # 'the/over/near' hits
+
+
+def test_lang_pred_consistent_with_shared_module(spark):
+    from crawlingathome_worker_spark.functions.langid import detect_lang
+
+    rows = with_lang_pred(_docs(spark)).collect()
+    for r in rows:
+        assert r["lang_pred"] == detect_lang(DOCS[r["doc_id"]][1])
+
+
+def test_bpe_estimate_monotone(spark):
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in with_bpe_estimate(_docs(spark)).collect()}
+    assert rows[0] >= len(DOCS[0][1].split())  # at least one per word
+    assert rows[5] == 0
