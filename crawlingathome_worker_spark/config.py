@@ -80,6 +80,11 @@ class EngineConfig:
     clip_threshold: float = -1.0  # keep-all by default; tests pin specific values
     # dedup mode: "exact" (anti-join vs key table — test oracle path) or "bloom"
     dedup_mode: str = "exact"
+    # Simulation shim: with no live network, a fetch is a join against the pairs
+    # table on image_id. When the input (raw WAT lines) carries no image_id
+    # column, it is recovered from the URL path by this regex — the stand-in for
+    # "the URL identifies the image you GET".
+    image_id_regex: str = r"(img\d{8})"
     # reference-strict mode: bloom-add *all attempted* keys (lossy, crawlingathome.py:149)
     # vs cuckoo-fixed retries (north_rule default)
     reference_strict: bool = False

@@ -54,7 +54,8 @@ def parse_links(links: DataFrame, cfg: EngineConfig) -> DataFrame:
     Document order is (page_id, pos) — the materialized equivalent of the
     reference's sequential line/link scan (SURVEY.md §2.4 J1).
     """
-    if "image_id" not in links.columns:
+    derive_image_id = "image_id" not in links.columns
+    if derive_image_id:
         links = links.withColumn("image_id", F.lit(None).cast("string"))
 
     # F4: a CC-license link applies to itself and all *later* links on the page;
@@ -93,6 +94,12 @@ def parse_links(links: DataFrame, cfg: EngineConfig) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if derive_image_id:
+        # raw-WAT inputs carry no FK — recover it from the URL (simulated-fetch
+        # shim, see EngineConfig.image_id_regex); no match ⇒ null ⇒ fetch error
+        df = df.withColumn(
+            "image_id", F.nullif(F.regexp_extract("url", cfg.image_id_regex, 1), F.lit(""))
+        )
     return df.select(*CANDIDATE_COLS)
 
 

@@ -28,6 +28,7 @@ from ..operators.parse import parse_links
 from ..operators.politeness import politeness_split, robots_gate
 from ..operators.schedule import assign_sample_ids
 from ..state.bloom import bloom_add, bloom_filter_unseen, empty_bloom
+from ..state.cuckoo import cuckoo_members, cuckoo_update, empty_cuckoo
 from ..state.snapshots import Warehouse
 
 FRONTIER_SCHEMA = (
@@ -85,16 +86,19 @@ def run_wave(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # 3. global seen-set anti-join (J2/J3) with retry override (J5)
+    # 3. global seen-set gate (J2/J3) with retry override (J5).
+    # Bloom mode mirrors the reference's TWO bloom families exactly: first the
+    # "clipped" bloom (crawlingathome.py:82-87), then the "parsed" bloom (:88-95),
+    # with the cuckoo retry slots overriding only the parsed stage. Exact mode is
+    # the same logic as anti-joins against key tables (the oracle path).
     if cfg.dedup_mode == "bloom":
-        bloom = wh.read_table(spark, parent, "bloom_state")
-        if bloom is None:
-            bloom = empty_bloom(spark, cfg.bloom)
-        unseen = bloom_filter_unseen(cands, bloom, cfg.bloom, key="pair_md5")
-        # retry override is exact in both modes (cuckoo holds few keys)
-        if retry_keys is not None:
-            retried = cands.join(retry_keys, "pair_md5", "left_semi")
-            unseen = unseen.unionByName(retried).dropDuplicates(["canonical_url"])
+        bloom_c = wh.read_table(spark, parent, "bloom_clipped") or empty_bloom(spark, cfg.bloom)
+        bloom_p = wh.read_table(spark, parent, "bloom_parsed") or empty_bloom(spark, cfg.bloom)
+        cuckoo = wh.read_table(spark, parent, "cuckoo_state") or empty_cuckoo(spark, cfg.cuckoo)
+        not_clipped = bloom_filter_unseen(cands, bloom_c, cfg.bloom, key="pair_md5")
+        unseen = bloom_filter_unseen(not_clipped, bloom_p, cfg.bloom, key="pair_md5")
+        retried = cuckoo_members(not_clipped, cuckoo, cfg.cuckoo, key="pair_md5")
+        unseen = unseen.unionByName(retried).dropDuplicates(["canonical_url"])
     else:
         unseen = seen_filter_exact(cands, seen_keys, retry_keys)
 
@@ -149,8 +153,20 @@ def run_wave(
     tables["seen_keys"] = [wh.write_table(new_seen, "seen_keys", snap_id)]
     tables["retry_keys"] = [wh.write_table(new_retry, "retry_keys", snap_id)]
     if cfg.dedup_mode == "bloom":
-        new_bloom = bloom_add(bloom, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
-        tables["bloom_state"] = [wh.write_table(new_bloom, "bloom_state", snap_id)]
+        # J4: bloom-add ALL attempted keys to "parsed" (crawlingathome.py:148-154);
+        # the clipped bloom is owned by the downstream CLIP stage and not written here.
+        new_bloom_p = bloom_add(bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
+        tables["bloom_clipped"] = [wh.write_table(bloom_c, "bloom_clipped", snap_id)]
+        tables["bloom_parsed"] = [wh.write_table(new_bloom_p, "bloom_parsed", snap_id)]
+        if cfg.reference_strict:
+            new_cuckoo = cuckoo
+        else:
+            failures_k = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
+            resolved_k = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
+            new_cuckoo = cuckoo_update(
+                cuckoo, inserts=failures_k, deletes=resolved_k, params=cfg.cuckoo
+            )
+        tables["cuckoo_state"] = [wh.write_table(new_cuckoo, "cuckoo_state", snap_id)]
     tables.setdefault("pairs_out", []).append(wh.write_table(out, "pairs_out", snap_id))
 
     metrics = spark.createDataFrame(

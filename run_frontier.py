@@ -1,0 +1,69 @@
+"""spark-submit entry point for the frontier engine.
+
+  spark-submit --py-files $(python -c 'import shutil;print(shutil.make_archive("/tmp/cah","zip","."))') \
+      run_frontier.py --warehouse /data/warehouse --fixtures /data/fixtures --waves 2
+
+On a real cluster the master/executor topology comes from spark-submit; locally
+this runs on local[$SPARK_GRAFT_CPUS]. Each invocation resumes from the
+warehouse's last committed snapshot (north_rule resumability) — kill it anywhere
+and rerun with the same arguments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="PySpark URL-frontier worker")
+    ap.add_argument("--warehouse", required=True, help="snapshot warehouse root")
+    ap.add_argument("--fixtures", default=None, help="fixture dir (default: generate)")
+    ap.add_argument("--fixture-scale", type=float, default=1.0)
+    ap.add_argument("--waves", type=int, default=2, help="WAT shards to process")
+    ap.add_argument("--drain", type=int, default=0, help="extra frontier-drain waves")
+    ap.add_argument("--budget", type=int, default=64, help="per-host budget per wave")
+    ap.add_argument("--dedup-mode", choices=["exact", "bloom"], default="exact")
+    ap.add_argument("--reference-strict", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from crawlingathome_worker_spark.config import EngineConfig
+    from crawlingathome_worker_spark.plans.job import run_job
+    from crawlingathome_worker_spark.session import get_spark
+    from crawlingathome_worker_spark.sources.fixtures import ensure_fixtures
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    fx = args.fixtures or ensure_fixtures(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures"),
+        scale=args.fixture_scale,
+    )
+    spark = get_spark(app_name="cah-frontier")
+    cfg = EngineConfig(
+        default_host_budget=args.budget,
+        dedup_mode=args.dedup_mode,
+        reference_strict=args.reference_strict,
+    )
+    wh = Warehouse(args.warehouse)
+    links = spark.read.parquet(os.path.join(fx, "wat_links.parquet"))
+    pairs = spark.read.parquet(os.path.join(fx, "pairs.parquet"))
+    robots = spark.read.parquet(os.path.join(fx, "robots.parquet"))
+    max_page = links.agg(F.max("page_id")).collect()[0][0]
+    step = (max_page + args.waves) // args.waves
+    shards = [
+        links.filter((F.col("page_id") >= i * step) & (F.col("page_id") < (i + 1) * step))
+        for i in range(args.waves)
+    ]
+    manifests = run_job(spark, wh, cfg, shards, pairs, robots, drain_waves=args.drain)
+    for m in manifests:
+        print(json.dumps({"wave": m["wave_no"], **m["counters"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

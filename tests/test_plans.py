@@ -1,0 +1,109 @@
+"""Physical-plan guards: assert the plans we designed for are the plans Catalyst
+actually produces (SURVEY.md §4). These protect the 100-TB properties — pushdown,
+pruning, broadcast dims, no-global-sort top-k, map-side partial aggregation,
+single fused Python pass — against silent regressions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlingathome_worker_spark.config import EngineConfig
+
+SF = "/root/testdata/sf0.01"
+CFG = EngineConfig()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    q = o.filter(F.col("o_totalprice") > 100.0).select("o_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100.0)" in plan
+    # ReadSchema must NOT include unprojected columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_orderpriority" not in rs and "o_orderstatus" not in rs
+
+
+def test_robots_gate_is_broadcast_join(spark, fx_dir):
+    from crawlingathome_worker_spark.operators.politeness import robots_gate
+
+    cands = (
+        spark.read.parquet(f"{fx_dir}/frontier_seed.parquet")
+        .select("url", "host")
+    )
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    plan = _plan(robots_gate(cands, robots, CFG))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    from crawlingathome_worker_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    plan = _plan(brute_force_topk(e, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_anti_join_shape(spark):
+    from crawlingathome_worker_spark.operators.dedup import seen_filter_exact
+
+    cands = spark.createDataFrame([("a",), ("b",)], "pair_md5 string")
+    seen = spark.createDataFrame([("a", "parsed")], "pair_md5 string, kind string")
+    plan = _optimized(seen_filter_exact(cands, seen))
+    assert plan.count("LeftAnti") == 2  # clipped stage + parsed stage
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """groupBy sums must map-side combine (two HashAggregate levels)."""
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = l.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    q.collect()  # execute THIS dataset so AQE finalizes its plan (codegen spans print)
+    plan = _plan(q)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "*(" in plan  # the '*(n)' prefix marks WholeStageCodegen spans
+
+
+def test_parse_is_one_fused_python_pass(spark, fx_dir):
+    """The enrichment stage is exactly ONE MapInPandas node (5 string UDFs fused
+    into a single Arrow round-trip)."""
+    from crawlingathome_worker_spark.operators.parse import parse_links
+
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    plan = _plan(parse_links(links, CFG))
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan  # no stray per-column UDF stages
+    assert "BatchEvalPython" not in plan  # and no row-at-a-time Python at all
+
+
+def test_sample_id_assignment_has_no_single_partition_window(spark):
+    """W1 must not contain a Window with an empty partition spec over the data
+    (the offsets window runs over P rows only, behind a broadcast)."""
+    from crawlingathome_worker_spark.operators.schedule import assign_sample_ids
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    out = assign_sample_ids(o, 0, order_cols=("o_orderkey",))
+    plan = _plan(out)
+    # the per-partition row_number window partitions by _pid
+    assert "windowspecdefinition(_pid" in plan
+    assert "BroadcastHashJoin" in plan  # offsets joined by broadcast
+    out.unpersist()
+
+
+def test_lineitem_scan_prunes_for_q1(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["q10_tpch_q1"](spark, SF))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in rs and "l_suppkey" not in rs  # pruned
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
