@@ -386,6 +386,23 @@ def q29_clip_scores(spark, sf_dir):
     )
 
 
+def q31_phash_near_pairs(spark, sf_dir):
+    """Banded-hamming pHash near-duplicate image pairs (JVM-side banding)."""
+    from crawlingathome_worker_spark.operators.fetch import with_decoded
+    from crawlingathome_worker_spark.operators.imagededup import phash_near_pairs
+
+    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet"))
+    dec = with_decoded(pairs.select("image_id", "bytes")).filter(F.col("dec_ok"))
+    return phash_near_pairs(dec, max_hamming=3)
+
+
+def q32_bpe_tokens(spark, sf_dir):
+    """BPE-ish token-cost estimate (regex chunking, JVM-side)."""
+    from crawlingathome_worker_spark.operators.textstats import with_bpe_estimate
+
+    return with_bpe_estimate(_t(spark, sf_dir, "documents")).select("doc_id", "bpe_tokens")
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -458,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_phash_groups": q28_phash_groups,
         "q29_clip_scores": q29_clip_scores,
         "q30_wave_flagship": q30_wave_flagship,
+        "q31_phash_near_pairs": q31_phash_near_pairs,
+        "q32_bpe_tokens": q32_bpe_tokens,
     }
 
 

@@ -17,7 +17,7 @@ keyed on; robots and id-offsets are broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -79,10 +79,12 @@ def run_wave(
     #    CANONICAL url (north_rule T6) — older wave wins, then document order.
     cands = frontier.unionByName(new_cands)
     w_can = Window.partitionBy("canonical_url").orderBy("wave_added", "page_id", "pos")
+    obs_cands = Observation("cands")
     cands = (
         cands.withColumn("_rn", F.row_number().over(w_can))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .observe(obs_cands, F.count(F.lit(1)).alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -101,6 +103,8 @@ def run_wave(
         unseen = unseen.unionByName(retried).dropDuplicates(["canonical_url"])
     else:
         unseen = seen_filter_exact(cands, seen_keys, retry_keys)
+    obs_unseen = Observation("unseen")
+    unseen = unseen.observe(obs_unseen, F.count(F.lit(1)).alias("n"))
 
     # 4. robots gate (broadcast join, J6) + politeness top-k per host (O1)
     gated = robots_gate(unseen, robots, cfg)
@@ -129,16 +133,25 @@ def run_wave(
             retry_keys.unionByName(failures).distinct().join(resolved, "pair_md5", "left_anti")
         )
 
-    # 8. lineage + counters (A1, north_rule per-partition granularity)
-    n_scheduled = scheduled.count()
+    # 8. lineage + counters (A1, north_rule per-partition granularity).
+    # candidates/unseen come from observe() nodes — collected as a side effect
+    # of the one action that materializes the pipeline, costing zero extra jobs;
+    # statuses come from ONE groupBy over the persisted classified frame.
+    status_counts = {
+        r["fetch_status"]: r["count"]
+        for r in classified.groupBy("fetch_status").count().collect()
+    }
+    n_scheduled = sum(status_counts.values())
+    n_errors = status_counts.get("error", 0)
+    n_ok = status_counts.get("ok", 0)
     counters = {
-        "candidates": cands.count(),
-        "unseen": unseen.count(),
+        "candidates": int(obs_cands.get["n"]),
+        "unseen": int(obs_unseen.get["n"]),
         "scheduled": n_scheduled,
         "deferred": deferred.count(),
-        "fetched_ok": classified.filter(F.col("fetch_status") == "ok").count(),
-        "rejected": classified.filter(~F.col("fetch_status").isin("ok", "error")).count(),
-        "errors": classified.filter(F.col("fetch_status") == "error").count(),
+        "fetched_ok": n_ok,
+        "rejected": n_scheduled - n_ok - n_errors,
+        "errors": n_errors,
     }
     manifest["counters"] = counters
     if collect_lineage:
@@ -169,9 +182,13 @@ def run_wave(
         tables["cuckoo_state"] = [wh.write_table(new_cuckoo, "cuckoo_state", snap_id)]
     tables.setdefault("pairs_out", []).append(wh.write_table(out, "pairs_out", snap_id))
 
+    # metrics table: totals (partition_id = -1) + per-partition lineage rows
+    # (north_rule: per-partition fetched/filtered/rejected counters)
+    metric_rows = [(wave_no, k, -1, int(v)) for k, v in counters.items()]
+    for stage, parts in manifest.get("lineage", {}).items():
+        metric_rows += [(wave_no, stage, p["partition_id"], p["n"]) for p in parts]
     metrics = spark.createDataFrame(
-        [(wave_no, k, int(v)) for k, v in counters.items()],
-        "wave_no int, counter string, value long",
+        metric_rows, "wave_no int, counter string, partition_id int, value long"
     )
     tables.setdefault("metrics", []).append(wh.write_table(metrics, "metrics", snap_id))
 
