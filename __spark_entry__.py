@@ -403,6 +403,35 @@ def q32_bpe_tokens(spark, sf_dir):
     return with_bpe_estimate(_t(spark, sf_dir, "documents")).select("doc_id", "bpe_tokens")
 
 
+def q33_image_resize(spark, sf_dir):
+    """Multimodal: batch decode → resize → re-encode (real against the codec)."""
+    from crawlingathome_worker_spark.operators.multimodal import resize_images
+
+    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet")).limit(500)
+    out = resize_images(pairs.select("image_id", "bytes", "fmt"), 32, 32)
+    return out.select("image_id", "fmt", "resized_ok", F.length("resized_bytes").alias("n_bytes"))
+
+
+def q34_video_frames(spark, sf_dir):
+    """Multimodal: row-expanding frame sampling (decode stubbed, plumbing real)."""
+    from crawlingathome_worker_spark.operators.multimodal import sample_video_frames
+
+    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet")).limit(200)
+    out = sample_video_frames(pairs.select("image_id", "bytes"), n_frames=4)
+    return out.select("image_id", "frame_idx")
+
+
+def q35_ann_ivf(spark, sf_dir):
+    """IVF ANN: coarse-quantize cells, probe nearest cells only."""
+    from crawlingathome_worker_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, n_cells=8, iters=8)
+    q = _query_vec(spark, sf_dir)
+    out = ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, k=10, n_probe=3)
+    return out.select("vec_id", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -477,6 +506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_wave_flagship": q30_wave_flagship,
         "q31_phash_near_pairs": q31_phash_near_pairs,
         "q32_bpe_tokens": q32_bpe_tokens,
+        "q33_image_resize": q33_image_resize,
+        "q34_video_frames": q34_video_frames,
+        "q35_ann_ivf": q35_ann_ivf,
     }
 
 

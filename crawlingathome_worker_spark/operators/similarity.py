@@ -21,9 +21,18 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import DoubleType, IntegerType, LongType
 
-__all__ = ["with_cosine", "brute_force_topk", "with_lsh_signature", "lsh_bucketed_topk", "knn_self_join"]
+__all__ = [
+    "with_cosine",
+    "brute_force_topk",
+    "with_lsh_signature",
+    "lsh_bucketed_topk",
+    "train_ivf_centroids",
+    "with_ivf_cell",
+    "ivf_topk",
+    "knn_self_join",
+]
 
 
 def _stack(series: pd.Series, dim: int) -> np.ndarray:
@@ -107,6 +116,73 @@ def lsh_bucketed_topk(
     sigged = with_lsh_signature(df, len(q), n_planes, seed, vec_col)
     bucket = sigged.filter(F.col("lsh_sig").isin(sigs))
     return brute_force_topk(bucket, q, k, vec_col, id_col)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+) -> np.ndarray:
+    """Coarse k-means centroids for IVF. The training sample is collected to the
+    driver (IVF codebooks are always tiny — n_cells × dim floats); at 100 TB you
+    train on a 0.01% sample, which is exactly what `sample_fraction` is for.
+    Lloyd iterations are deterministic (seeded init, stable argmin)."""
+    sample = df.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    x = np.array([r[vec_col] for r in sample.collect()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (one gemm per Arrow batch).
+    At rest, partition/bucket the stored table by `ivf_cell` so a query scans
+    only its probed cells — partition pruning does the rest."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    dim = cents.shape[1]
+
+    @F.pandas_udf(IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = _stack(vecs, dim)
+        # argmin ||x-c||² = argmax (x·c - ||c||²/2): one gemm, no n×k×d temp
+        scores = m @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: score only the n_probe cells nearest to the query."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+    celled = with_ivf_cell(df, cents, vec_col)
+    return brute_force_topk(celled.filter(F.col("ivf_cell").isin(probe)), q, k, vec_col, id_col)
 
 
 def knn_self_join(

@@ -1,0 +1,82 @@
+"""Multimodal transforms: real image resize round-trip; stubbed video/audio
+decode with REAL row-expanding Spark plumbing. IVF ANN recall."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawlingathome_worker_spark import fakeimg
+from crawlingathome_worker_spark.operators.multimodal import (
+    audio_features,
+    resize_images,
+    sample_video_frames,
+)
+from crawlingathome_worker_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    train_ivf_centroids,
+    with_ivf_cell,
+)
+
+
+def test_resize_images_real_roundtrip(spark, fx_dir):
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet").limit(50)
+    out = resize_images(pairs.select("image_id", "bytes", "fmt"), 16, 16).collect()
+    n_ok = 0
+    for r in out:
+        if not r["resized_ok"]:
+            continue
+        n_ok += 1
+        dec = fakeimg.decode(bytes(r["resized_bytes"]))
+        assert dec is not None
+        fmt, w, h, img = dec
+        assert (w, h) == (16, 16)
+        assert fmt == r["fmt"]  # format preserved
+    assert n_ok > 40
+
+
+def test_video_frame_sampling_stub_plumbing(spark, fx_dir):
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet").limit(10)
+    out = sample_video_frames(pairs.select("image_id", "bytes"), n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 40  # row-expanding: 10 blobs × 4 frames
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["image_id"], []).append(r["frame_idx"])
+        assert len(r["frame_feat"]) == 64
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_id.values())
+    # deterministic: same blob → same features
+    again = sample_video_frames(pairs.select("image_id", "bytes"), n_frames=4).collect()
+    a0 = {(r["image_id"], r["frame_idx"]): tuple(r["frame_feat"]) for r in rows}
+    a1 = {(r["image_id"], r["frame_idx"]): tuple(r["frame_feat"]) for r in again}
+    assert a0 == a1
+
+
+def test_audio_features_stub_plumbing(spark, fx_dir):
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet").limit(5)
+    rows = audio_features(pairs.select("image_id", "bytes"), n_windows=8).collect()
+    assert len(rows) == 40
+    assert all(r["energy"] is not None for r in rows)
+
+
+def _embeddings(spark, n=400, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((4, dim)) * 3
+    vecs = np.concatenate(
+        [centers[i % 4] + rng.standard_normal(dim) * 0.3 for i in range(n)]
+    ).reshape(n, dim)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_ivf_cells_and_recall(spark):
+    df, vecs = _embeddings(spark)
+    cents = train_ivf_centroids(df, n_cells=4, iters=15)
+    celled = with_ivf_cell(df, cents)
+    # cells are balanced-ish (clustered data → 4 real clusters)
+    sizes = [r["count"] for r in celled.groupBy("ivf_cell").count().collect()]
+    assert len(sizes) == 4 and min(sizes) > 20
+    # recall: IVF top-10 vs brute-force top-10 on a data vector as query
+    q = vecs[7]
+    want = {r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()}
+    got = {r["vec_id"] for r in ivf_topk(df, cents, q, k=10, n_probe=2).collect()}
+    assert len(want & got) >= 9  # clustered data: near-perfect recall at n_probe=2
