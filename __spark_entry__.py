@@ -432,6 +432,24 @@ def q35_ann_ivf(spark, sf_dir):
     return out.select("vec_id", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))
 
 
+def q36_seen_semijoin(spark, sf_dir):
+    """LEFT SEMI — the dual of the seen anti-join (customers WITH orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q37_frontier_set_ops(spark, sf_dir):
+    """Set ops of the frontier merge: (waveA ∪ waveB) minus seen (EXCEPT)."""
+    links = _links_view(spark, sf_dir)
+    wave_a = links.filter(F.col("link_id") % 2 == 0).select("url")
+    wave_b = links.filter(F.col("link_id") % 3 == 0).select("url")
+    seen = links.filter(F.col("link_id") % 5 == 0).select("url")
+    return wave_a.union(wave_b).distinct().exceptAll(seen.distinct()).select("url")
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -509,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_image_resize": q33_image_resize,
         "q34_video_frames": q34_video_frames,
         "q35_ann_ivf": q35_ann_ivf,
+        "q36_seen_semijoin": q36_seen_semijoin,
+        "q37_frontier_set_ops": q37_frontier_set_ops,
     }
 
 
@@ -651,5 +671,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM embeddings GROUP BY label
         """,
-        # q19-q22, q24, q26-q30: UDF/LSH/image ops — no SQL equivalent (rows-only)
+        "q36_seen_semijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "q37_frontier_set_ops": f"""
+            WITH links AS ({_LINKS_SQL}),
+            a AS (SELECT url FROM links WHERE link_id % 2 = 0),
+            b AS (SELECT url FROM links WHERE link_id % 3 = 0),
+            seen AS (SELECT DISTINCT url FROM links WHERE link_id % 5 = 0)
+            SELECT url FROM (SELECT DISTINCT url FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+            EXCEPT ALL SELECT url FROM seen
+        """,
+        # q19-q22, q24, q26-q35 (non-SQL): UDF/LSH/image ops — rows-only checks
     }

@@ -5,11 +5,19 @@ tracker's start_id (crawlingathome.py:118, 144-146, 227). A naive Spark port is
 `row_number().over(Window.orderBy(...))` — a ONE-PARTITION window that serializes
 the whole wave through a single task and cannot scale (SURVEY.md §7.4).
 
-Instead: range-repartition by the ordering key, count rows per partition, compute
-per-partition offsets with a tiny P-row window, broadcast-join the offsets back,
-and add a per-partition row_number. Global order is preserved because the range
-partitioner assigns ascending key ranges to ascending partition ids; every step is
-O(rows/P) per task.
+Plan here (and why there is NO second shuffle of the data):
+1. range-repartition by the ordering key and sort within partitions — the only
+   full shuffle; ascending key ranges land in ascending partition ids;
+2. `monotonically_increasing_id()` right after the sort gives ids that are
+   consecutive WITHIN each partition in sorted order, so
+   `mid - min(mid per partition)` is the local 0-based rank — computed with a
+   tiny P-row aggregate + broadcast join instead of a Window.partitionBy(_pid)
+   (which would re-Exchange every row on _pid: Catalyst cannot know the data is
+   already co-located by partition id);
+3. per-partition row counts cumsum into offsets (P-row window, broadcast back).
+
+sample_id = start_id + offset[pid] + local_rank + 1 — first id is start_id + 1,
+matching the reference's pre-increment.
 """
 
 from __future__ import annotations
@@ -26,11 +34,11 @@ def assign_sample_ids(
     id_col: str = "sample_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Add `id_col` = start_id + rank (1-based, matching the reference's
-    pre-increment: the first assigned id is start_id + 1, crawlingathome.py:145).
+    """Add `id_col` = start_id + global rank (1-based) in order_cols order.
 
-    The returned DataFrame is persisted (the range shuffle samples its input; the
-    persist pins one deterministic partitioning for all downstream actions).
+    The returned DataFrame is persisted (the range shuffle samples its input and
+    monotonically_increasing_id is assignment-order-dependent; the persist pins
+    one deterministic materialization for all downstream actions).
     """
     sess = df.sparkSession
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -39,17 +47,22 @@ def assign_sample_ids(
         df.repartitionByRange(p, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = rdf.groupBy("_pid").count()
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("count").over(w_off), F.lit(0))).drop(
-        "count"
+    stats = rdf.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mmin")
     )
-    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_mmin", "_off")
     out = (
         rdf.join(F.broadcast(offsets), "_pid")
-        .withColumn(id_col, F.lit(start_id) + F.col("_off") + F.row_number().over(w_local))
-        .drop("_pid", "_off")
+        .withColumn(
+            id_col,
+            F.lit(start_id) + F.col("_off") + (F.col("_mid") - F.col("_mmin")) + F.lit(1),
+        )
+        .drop("_pid", "_mid", "_mmin", "_off")
     )
     return out

@@ -86,17 +86,23 @@ def test_parse_is_one_fused_python_pass(spark, fx_dir):
     assert "BatchEvalPython" not in plan  # and no row-at-a-time Python at all
 
 
-def test_sample_id_assignment_has_no_single_partition_window(spark):
-    """W1 must not contain a Window with an empty partition spec over the data
-    (the offsets window runs over P rows only, behind a broadcast)."""
+def test_sample_id_assignment_shuffles_data_exactly_once(spark):
+    """W1: ONE range shuffle of the data; ranks come from monotonic ids +
+    a broadcast of P offset rows — no single-partition window, no second
+    Exchange of the data on _pid."""
     from crawlingathome_worker_spark.operators.schedule import assign_sample_ids
 
     o = spark.read.parquet(f"{SF}/orders.parquet")
     out = assign_sample_ids(o, 0, order_cols=("o_orderkey",))
-    plan = _plan(out)
-    # the per-partition row_number window partitions by _pid
-    assert "windowspecdefinition(_pid" in plan
+    out.collect()
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "Exchange rangepartitioning" in plan
+    assert "Exchange hashpartitioning(_pid" not in plan  # no data re-shuffle
+    assert "windowspecdefinition(_pid" not in plan
     assert "BroadcastHashJoin" in plan  # offsets joined by broadcast
+    # correctness: ids are the 1-based rank in o_orderkey order
+    rows = out.select("o_orderkey", "sample_id").orderBy("o_orderkey").collect()
+    assert [r["sample_id"] for r in rows] == list(range(1, len(rows) + 1))
     out.unpersist()
 
 
