@@ -22,6 +22,15 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus)
     )
+    # Shuffle/spill files on tmpfs when available: this node has far more RAM
+    # than the working set, and the default /tmp sits on a virtual disk whose
+    # bandwidth flatlines multi-core scaling the moment a wide shuffle (e.g.
+    # the image-bytes fetch join) spills. On a real cluster this is "point
+    # spark.local.dir at NVMe", the same knob.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -37,7 +46,8 @@ def get_spark(
         # Broadcast threshold: robots/seen-dim tables are small; let Spark
         # broadcast up to 64 MB before falling back to shuffle joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
