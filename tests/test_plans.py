@@ -75,15 +75,27 @@ def test_aggregation_is_partial_then_final(spark):
 
 
 def test_parse_is_one_fused_python_pass(spark, fx_dir):
-    """The enrichment stage is exactly ONE MapInPandas node (5 string UDFs fused
-    into a single Arrow round-trip)."""
+    """The enrichment stage is exactly ONE ArrowEvalPython node (5 string UDFs
+    fused into a single struct-returning pandas UDF — one Arrow round-trip, and
+    only the 3 input columns cross into Python)."""
     from crawlingathome_worker_spark.operators.parse import parse_links
 
     links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
     plan = _plan(parse_links(links, CFG))
-    assert plan.count("MapInPandas") == 1
-    assert "ArrowEvalPython" not in plan  # no stray per-column UDF stages
-    assert "BatchEvalPython" not in plan  # and no row-at-a-time Python at all
+    assert plan.count("ArrowEvalPython") == 1
+    assert "MapInPandas" not in plan  # no whole-row Python round-trip
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python at all
+
+
+def test_decode_does_not_echo_bytes_through_python(spark, fx_dir):
+    """with_decoded must be an ArrowEvalPython over the bytes column only —
+    the multi-GB binary column must NOT round-trip back out of Python."""
+    from crawlingathome_worker_spark.operators.fetch import with_decoded
+
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet").select("image_id", "bytes")
+    plan = _plan(with_decoded(pairs))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "MapInPandas" not in plan
 
 
 def test_sample_id_assignment_shuffles_data_exactly_once(spark):
