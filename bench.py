@@ -186,6 +186,62 @@ def run_scaling(levels=(8, 32), waves: int = 5) -> dict:
     out["speedup"] = round(speedup, 3)
     out["scaling_efficiency"] = round(speedup / (hi / lo), 3)
     out["fixture_scale"] = scale
+    out["kernel_scaling"] = kernel_scaling(levels)
+    return out
+
+
+_KERNEL_IMGS: list = []
+
+
+def _kernel_work(n: int) -> int:
+    """Decode + pHash + feature + proxy-score, n images (module-level so Pool
+    can pickle it by reference; workers inherit _KERNEL_IMGS via fork)."""
+    from crawlingathome_worker_spark import fakeimg, phash  # noqa: F401 (fork warm)
+    from crawlingathome_worker_spark.functions.udfs import text_feature
+    from crawlingathome_worker_spark.phash import image_feature, phash64
+
+    tf = text_feature("the quick brown fox")
+    for b in _KERNEL_IMGS[:n]:
+        d = fakeimg.decode(b)
+        fv = image_feature(d[3])
+        phash64(d[3])
+        float(fv @ tf)
+    return n
+
+
+def kernel_scaling(levels=(8, 32), n_imgs: int = 2000, n_tasks: int = 64) -> dict:
+    """Engine compute-kernel scaling (decode + pHash + feature) via a plain
+    multiprocessing farm — isolates the executor-side work from Spark's
+    per-stage latency (which is constant in core count and dominates small
+    waves; see BENCH/BASELINE.md). Kernels are the same module code the Spark
+    UDFs call."""
+    import time
+    from multiprocessing import Pool
+
+    import numpy as np
+
+    from crawlingathome_worker_spark import fakeimg, phash
+    from crawlingathome_worker_spark.functions.udfs import text_feature
+
+    rng = np.random.default_rng(0)
+    global _KERNEL_IMGS
+    _KERNEL_IMGS = [
+        fakeimg.encode(fakeimg.random_image(rng, 64, 64), "JPEG") for _ in range(n_imgs)
+    ]
+    out = {}
+    for procs in levels:
+        with Pool(procs) as p:
+            p.map(_kernel_work, [10] * procs)  # warmup/fork
+            best = 1e9
+            for _ in range(3):  # min-of-3: host load bursts poison single shots
+                t0 = time.perf_counter()
+                p.map(_kernel_work, [1000] * n_tasks)
+                best = min(best, time.perf_counter() - t0)
+        out[procs] = {"img_per_sec": round(n_tasks * 1000 / best, 0), "sec": round(best, 2)}
+    lo, hi = levels
+    sp = out[hi]["img_per_sec"] / out[lo]["img_per_sec"]
+    out["speedup"] = round(sp, 3)
+    out["scaling_efficiency"] = round(sp / (hi / lo), 3)
     return out
 
 

@@ -35,7 +35,6 @@ from pyspark.sql.types import (
 
 from .. import fakeimg, phash
 from ..config import EngineConfig
-from ..functions.udfs import clip_score_udf, text_feature_udf
 
 _DECODE_STRUCT = StructType(
     [
@@ -106,6 +105,64 @@ def with_decoded(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return dec.select("*", "_dec.*").drop("_dec")
 
 
+_DECODE_SCORE_STRUCT = StructType(
+    list(_DECODE_STRUCT.fields) + [StructField("score", FloatType())]
+)
+
+
+def with_decoded_and_scored(
+    df: DataFrame, bytes_col: str = "bytes", caption_col: str = "caption"
+) -> DataFrame:
+    """Decode + pHash + image feature + text embed + CLIP-proxy score in ONE
+    Python stage ("decode once, reuse for everything"): vs chaining with_decoded
+    → text_feature_udf → clip_score_udf this removes two ArrowEvalPython stage
+    barriers per wave — per-stage latency is the constant that caps small-wave
+    scaling (BENCH/BASELINE.md)."""
+    from ..functions.udfs import text_feature
+
+    @F.pandas_udf(_DECODE_SCORE_STRUCT)
+    def decode_score_udf(col: pd.Series, caps: pd.Series) -> pd.DataFrame:
+        n = len(col)
+        w = [0] * n
+        h = [0] * n
+        fmt: list[str | None] = [None] * n
+        ok = [False] * n
+        ph: list[int | None] = [None] * n
+        feat: list[list[float] | None] = [None] * n
+        score: list[float | None] = [None] * n
+        for i in range(n):
+            b = col.iat[i]
+            if b is None:
+                continue
+            dec = fakeimg.decode(bytes(b))
+            if dec is None:
+                continue
+            f0, w0, h0, img = dec
+            fmt[i], w[i], h[i], ok[i] = f0, w0, h0, True
+            ph[i] = phash.phash64(img)
+            fv = phash.image_feature(img)
+            feat[i] = fv.tolist()
+            cap = caps.iat[i]
+            if cap is not None:
+                score[i] = float(fv @ text_feature(cap))
+        return pd.DataFrame(
+            {
+                "w_dec": pd.array(w, dtype="int32"),
+                "h_dec": pd.array(h, dtype="int32"),
+                "fmt_dec": fmt,
+                "dec_ok": ok,
+                "phash": pd.array(ph, dtype="Int64"),
+                "img_feat": feat,
+                "score": pd.array(score, dtype="float32"),
+            }
+        )
+
+    dec = df.withColumn(
+        "_dec", decode_score_udf.asNondeterministic()(F.col(bytes_col), F.col(caption_col))
+    )
+    return dec.select("*", "_dec.*").drop("_dec")
+
+
 def classify_and_score(fetched: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Attach fetch status + CLIP-proxy score to every scheduled row.
 
@@ -113,14 +170,7 @@ def classify_and_score(fetched: DataFrame, cfg: EngineConfig) -> DataFrame:
     the reference's exact thresholds, then the CLIP-similarity gate the project
     ran downstream (README.md:8) as a deterministic proxy scorer.
     """
-    decoded = with_decoded(fetched)
-    decoded = decoded.withColumn(
-        "score",
-        F.when(
-            F.col("dec_ok"),
-            clip_score_udf(F.col("img_feat"), text_feature_udf(F.col("caption"))),
-        ).otherwise(F.lit(None).cast("float")),
-    )
+    decoded = with_decoded_and_scored(fetched)
     status = (
         F.when(F.col("bytes").isNull(), F.lit("error"))  # network failure → retryable
         .when(F.length(F.col("bytes")) < cfg.min_image_bytes, F.lit("too_small"))  # F9 :103
