@@ -39,6 +39,16 @@ SEEN_SCHEMA = "pair_md5 string, kind string"
 RETRY_SCHEMA = "pair_md5 string"
 
 
+def _obs_count(obs: Observation, df: DataFrame) -> int:
+    """Observation value with a count() fallback: when a wave's sub-plan is
+    empty, AQE may replace the observed subtree with an empty LocalTableScan
+    and the observation row never materializes cleanly."""
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        return df.count()
+
+
 def _lineage(df: DataFrame) -> list[dict]:
     rows = (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -145,8 +155,8 @@ def run_wave(
     n_errors = status_counts.get("error", 0)
     n_ok = status_counts.get("ok", 0)
     counters = {
-        "candidates": int(obs_cands.get["n"]),
-        "unseen": int(obs_unseen.get["n"]),
+        "candidates": _obs_count(obs_cands, cands),
+        "unseen": _obs_count(obs_unseen, unseen),
         "scheduled": n_scheduled,
         "deferred": deferred.count(),
         "fetched_ok": n_ok,
