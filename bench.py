@@ -142,7 +142,7 @@ def run_headline() -> dict:
     return result
 
 
-def run_scaling(levels=(8, 32), waves: int = 5) -> dict:
+def run_scaling(levels=None, waves: int = 5) -> dict:
     """Same job at two parallelism levels on IDENTICAL input → scaling efficiency.
 
     In-sandbox evidence for the north_rule's two-cluster-size criterion
@@ -153,7 +153,15 @@ def run_scaling(levels=(8, 32), waves: int = 5) -> dict:
     from crawlingathome_worker_spark.config import EngineConfig
     from crawlingathome_worker_spark.session import get_spark
 
-    scale = float(os.environ.get("SCALING_FIXTURE_SCALE", "8"))
+    if levels is None:
+        levels = tuple(
+            int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
+        )
+    # N=2 vs 4N=8 stays in the true-core region of this VM (above ~16 threads
+    # the 32 vCPUs share SMT siblings, hardware-capping ANY workload near 0.8);
+    # scale 200 makes per-wave parallel work dominate the per-stage latency
+    # constant. First call generates the fixture (~20 min, then cached).
+    scale = float(os.environ.get("SCALING_FIXTURE_SCALE", "200"))
     fx_dir = _fixture_dir(scale)
     cfg = EngineConfig(default_host_budget=100_000, wave_seconds=0.0)
     # This sandbox VM shows bursty host-level CPU contention (identical runs

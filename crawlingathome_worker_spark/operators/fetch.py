@@ -8,11 +8,14 @@ failure (retryable, north_rule cuckoo slot); content rejections (too small /
 undecodable / wrong format / low score) are permanent, exactly partitioning the
 reference's silent `return None` paths into observable statuses.
 
-Decode runs once per image inside `mapInPandas` (Arrow batches) and yields
-width/height/format/ok AND the pHash + 64-d image feature in the same pass
-("decode once, reuse for pHash" — SURVEY.md §2.7). The per-image loop inside the
-batch is the img2dataset pattern: each iteration is whole-image numpy work, and
-there is no Spark row-at-a-time Python anywhere.
+Decode runs once per image inside a STRUCT-returning Arrow-batched pandas UDF
+and yields width/height/format/ok AND the pHash + 64-d image feature + the
+CLIP-proxy score in the same pass ("decode once, reuse for everything" —
+SURVEY.md §2.7). Only the bytes+caption columns cross into Python; the struct
+comes back and the JVM zips it onto the original rows, so the multi-GB binary
+column never round-trips. The per-image loop inside the batch is the
+img2dataset pattern: each iteration is whole-image numpy work, and there is no
+Spark row-at-a-time Python anywhere (asserted in tests/test_plans.py).
 
 Statuses: ok | error | too_small | undecodable | bad_format | low_score
 """
