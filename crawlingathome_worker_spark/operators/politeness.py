@@ -76,7 +76,25 @@ def politeness_split(
     partition is never materialized in one task.
     """
     df = with_priority(candidates, wave_no, cfg)
-    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
+    if cfg.adaptive_salt:
+        # Derive per-host salt counts from the actual host frequencies (SURVEY.md
+        # §4: "salt count tuned by host-frequency sketch"): big hosts get enough
+        # buckets that no phase-1 window task exceeds ~salt_target_rows rows;
+        # singleton hosts get salt=1 (no pointless spread). The host-count agg is
+        # map-side combinable and the result is broadcast. Top-k is decomposable,
+        # so the scheduled SET is identical for any salt counts — only the task
+        # size distribution changes.
+        counts = candidates.groupBy("host").agg(F.count(F.lit(1)).alias("_hn"))
+        nsalt = F.least(
+            F.lit(cfg.salt_buckets).cast("long"),
+            F.greatest(F.lit(1).cast("long"), F.ceil(F.col("_hn") / cfg.salt_target_rows)),
+        )
+        df = df.join(
+            F.broadcast(counts.select("host", nsalt.alias("_nsalt"))), "host", "left"
+        )
+        salt = F.pmod(F.xxhash64(F.col("url")), F.coalesce(F.col("_nsalt"), F.lit(1)))
+    else:
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
     w1 = Window.partitionBy("host", "_salt").orderBy("priority_key", "url")
     local = (
         df.withColumn("_salt", salt)
@@ -90,5 +108,8 @@ def politeness_split(
         .filter(F.col("_r2") <= F.col("host_budget"))
         .drop("_r2")
     )
+    if cfg.adaptive_salt:
+        scheduled = scheduled.drop("_nsalt")
+        df = df.drop("_nsalt")
     deferred = df.join(scheduled.select("url"), "url", "left_anti").drop("priority_key")
     return scheduled, deferred
