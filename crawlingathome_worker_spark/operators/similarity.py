@@ -185,6 +185,39 @@ def ivf_topk(
     return brute_force_topk(celled.filter(F.col("ivf_cell").isin(probe)), q, k, vec_col, id_col)
 
 
+def write_ivf_partitioned(
+    df: DataFrame, centroids: np.ndarray, path: str, vec_col: str = "embedding"
+) -> None:
+    """Persist the embedding table PARTITIONED BY its IVF cell: a query that
+    filters on ivf_cell then scans only the probed cells' files — Catalyst
+    partition pruning turns an ANN query into an O(probed/total) scan. This is
+    the at-rest layout for the 100 TB path (Iceberg: partition transform on the
+    cell column)."""
+    with_ivf_cell(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over the partitioned store: the cell filter prunes at the FILE level
+    (assert `PartitionFilters` in the scan — tests/test_multimodal.py)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+    stored = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    return brute_force_topk(stored, q, k, vec_col, id_col)
+
+
 def knn_self_join(
     df: DataFrame,
     threshold: float = 0.95,

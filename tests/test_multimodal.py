@@ -80,3 +80,25 @@ def test_ivf_cells_and_recall(spark):
     want = {r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()}
     got = {r["vec_id"] for r in ivf_topk(df, cents, q, k=10, n_probe=2).collect()}
     assert len(want & got) >= 9  # clustered data: near-perfect recall at n_probe=2
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """The at-rest IVF layout: cell filter must prune at the FILE level
+    (PartitionFilters on ivf_cell in the scan) and return the same top-k."""
+    from crawlingathome_worker_spark.operators.similarity import (
+        ivf_topk_pruned,
+        write_ivf_partitioned,
+    )
+
+    df, vecs = _embeddings(spark)
+    cents = train_ivf_centroids(df, n_cells=4, iters=15)
+    path = str(tmp_path / "emb_ivf")
+    write_ivf_partitioned(df, cents, path)
+
+    q = vecs[7]
+    out = ivf_topk_pruned(spark, path, cents, q, k=10, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:120]
+    got = {r["vec_id"] for r in out.collect()}
+    want = {r["vec_id"] for r in ivf_topk(df, cents, q, k=10, n_probe=2).collect()}
+    assert got == want
