@@ -276,7 +276,7 @@ def q20_minhash_lsh_pairs(spark, sf_dir):
     )
 
     sigs = minhash_signatures(_t(spark, sf_dir, "documents"), num_perm=64)
-    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5).select(
+    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5, num_perm=64).select(
         "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
@@ -338,10 +338,11 @@ def q25_embedding_norms(spark, sf_dir):
 
 
 def q26_embedding_neardup(spark, sf_dir):
+    """Banded multi-table LSH near-dup pairs (bounded buckets — the scale path)."""
     from crawlingathome_worker_spark.operators.similarity import knn_self_join
 
     e = _t(spark, sf_dir, "embeddings")
-    out = knn_self_join(e, threshold=0.8, n_planes=6)
+    out = knn_self_join(e, threshold=0.4, n_tables=4, bits_per_table=6)
     return out.select("id_a", "id_b", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))
 
 
@@ -380,7 +381,12 @@ def q29_clip_scores(spark, sf_dir):
     return dec.select(
         "image_id",
         (
-            F.round(clip_score_udf(F.col("img_feat"), text_feature_udf(F.col("caption"))), 3)
+            F.round(
+                clip_score_udf(F.col("img_feat"), text_feature_udf(F.col("caption"))).cast(
+                    "double"
+                ),
+                3,
+            )
             + F.lit(0.0)
         ).alias("score"),
     )
@@ -407,7 +413,10 @@ def q33_image_resize(spark, sf_dir):
     """Multimodal: batch decode → resize → re-encode (real against the codec)."""
     from crawlingathome_worker_spark.operators.multimodal import resize_images
 
-    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet")).limit(500)
+    # deterministic subset (a bare limit() picks arbitrary rows — engines differ)
+    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet")).filter(
+        F.col("image_id") < "img00000500"
+    )
     out = resize_images(pairs.select("image_id", "bytes", "fmt"), 32, 32)
     return out.select("image_id", "fmt", "resized_ok", F.length("resized_bytes").alias("n_bytes"))
 
@@ -416,7 +425,9 @@ def q34_video_frames(spark, sf_dir):
     """Multimodal: row-expanding frame sampling (decode stubbed, plumbing real)."""
     from crawlingathome_worker_spark.operators.multimodal import sample_video_frames
 
-    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet")).limit(200)
+    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet")).filter(
+        F.col("image_id") < "img00000200"
+    )
     out = sample_video_frames(pairs.select("image_id", "bytes"), n_frames=4)
     return out.select("image_id", "frame_idx")
 
@@ -426,7 +437,10 @@ def q35_ann_ivf(spark, sf_dir):
     from crawlingathome_worker_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(e, n_cells=8, iters=8)
+    # bounded, order-insensitive training sample: at most 65536 rows reach the
+    # driver (TakeOrderedAndProject), deterministic in vec_id order. At the
+    # 10^10-vector design point pass sample_fraction≈1e-5 to pre-thin the scan.
+    cents = train_ivf_centroids(e, n_cells=8, iters=8, max_train_rows=65536)
     q = _query_vec(spark, sf_dir)
     out = ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, k=10, n_probe=3)
     return out.select("vec_id", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))

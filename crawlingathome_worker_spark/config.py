@@ -85,6 +85,11 @@ class EngineConfig:
     clip_threshold: float = -1.0  # keep-all by default; tests pin specific values
     # dedup mode: "exact" (anti-join vs key table — test oracle path) or "bloom"
     dedup_mode: str = "exact"
+    # bloom-state maintenance: each wave appends only its KEY DELTA (small) and
+    # the bloom bits are OR-merged at read; after this many deltas the bits are
+    # compacted into a new base. At the 24 GB design point this turns a per-wave
+    # 24 GB state rewrite into a keys-only append + one compaction per N waves.
+    bloom_compact_every: int = 8
     # Simulation shim: with no live network, a fetch is a join against the pairs
     # table on image_id. When the input (raw WAT lines) carries no image_id
     # column, it is recovered from the URL path by this regex — the stand-in for

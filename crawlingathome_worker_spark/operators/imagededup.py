@@ -28,18 +28,18 @@ def phash_dedup(df: DataFrame, order_col: str = "sample_id") -> DataFrame:
 def phash_near_pairs(
     df: DataFrame, id_col: str = "image_id", max_hamming: int = 3
 ) -> DataFrame:
-    """→ (id_a, id_b, hamming ≤ max_hamming) near-duplicate image pairs."""
+    """→ (id_a, id_b, hamming ≤ max_hamming) near-duplicate image pairs.
+
+    Bands are derived from the radius ((max_hamming + 1) bit-bands, pigeonhole)
+    so candidate recall is complete for any requested hamming distance."""
+    from .textdedup import hash64_band_chunks
+
     bands = df.select(
         F.col(id_col),
         F.col("phash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("phash", 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "chunk"),
+        F.posexplode(F.array(*hash64_band_chunks("phash", max_hamming))).alias(
+            "band", "chunk"
+        ),
     )
     l, r = bands.alias("l"), bands.alias("r")
     cand = (

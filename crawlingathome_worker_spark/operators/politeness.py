@@ -95,21 +95,22 @@ def politeness_split(
         salt = F.pmod(F.xxhash64(F.col("url")), F.coalesce(F.col("_nsalt"), F.lit(1)))
     else:
         salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
+    # The two rank columns fully determine the split, so `deferred` is derived
+    # as the rank-filtered complement — no anti-join back on url (which would
+    # add a full shuffle of the wave and recompute the frontier subtree).
     w1 = Window.partitionBy("host", "_salt").orderBy("priority_key", "url")
-    local = (
-        df.withColumn("_salt", salt)
-        .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("host_budget"))
-        .drop("_r1", "_salt")
-    )
+    ranked1 = df.withColumn("_salt", salt).withColumn("_r1", F.row_number().over(w1))
+    local = ranked1.filter(F.col("_r1") <= F.col("host_budget")).drop("_r1", "_salt")
     w2 = Window.partitionBy("host").orderBy("priority_key", "url")
-    scheduled = (
-        local.withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= F.col("host_budget"))
-        .drop("_r2")
+    ranked2 = local.withColumn("_r2", F.row_number().over(w2))
+    scheduled = ranked2.filter(F.col("_r2") <= F.col("host_budget")).drop("_r2")
+    drop_cols = ["priority_key"] + (["_nsalt"] if cfg.adaptive_salt else [])
+    deferred = (
+        ranked1.filter(F.col("_r1") > F.col("host_budget"))
+        .drop("_r1", "_salt")
+        .unionByName(ranked2.filter(F.col("_r2") > F.col("host_budget")).drop("_r2"))
+        .drop(*drop_cols)
     )
     if cfg.adaptive_salt:
         scheduled = scheduled.drop("_nsalt")
-        df = df.drop("_nsalt")
-    deferred = df.join(scheduled.select("url"), "url", "left_anti").drop("priority_key")
     return scheduled, deferred

@@ -65,4 +65,15 @@ def assign_sample_ids(
         )
         .drop("_pid", "_mid", "_mmin", "_off")
     )
+    # Expose the persisted intermediate so long-running loops (run_wave, the
+    # streaming front-end) can unpersist it once the wave's actions are done —
+    # otherwise cached RDDs accumulate until GC-driven cleanup.
+    out._sample_id_cache = rdf
     return out
+
+
+def unpersist_sample_ids(df: DataFrame) -> None:
+    """Release the cache pinned by assign_sample_ids (no-op on other frames)."""
+    cached = getattr(df, "_sample_id_cache", None)
+    if cached is not None:
+        cached.unpersist()

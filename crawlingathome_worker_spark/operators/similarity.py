@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 __all__ = [
     "with_cosine",
@@ -31,6 +31,7 @@ __all__ = [
     "train_ivf_centroids",
     "with_ivf_cell",
     "ivf_topk",
+    "banded_lsh_signatures",
     "knn_self_join",
 ]
 
@@ -125,15 +126,24 @@ def train_ivf_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
+    max_train_rows: int = 65536,
+    order_col: str = "vec_id",
 ) -> np.ndarray:
-    """Coarse k-means centroids for IVF. The training sample is collected to the
-    driver (IVF codebooks are always tiny — n_cells × dim floats); at 100 TB you
-    train on a 0.01% sample, which is exactly what `sample_fraction` is for.
+    """Coarse k-means centroids for IVF. Only a BOUNDED training sample ever
+    reaches the driver (IVF codebooks are tiny — n_cells × dim floats): the
+    sort+limit compiles to TakeOrderedAndProject (per-partition heap of
+    max_train_rows, driver merge), so driver memory is O(max_train_rows × dim)
+    regardless of table size. At 100 TB, set `sample_fraction` to pre-thin the
+    scan (e.g. 1e-5 of 10^10 vectors → 10^5 sample) — the fraction only changes
+    how much data feeds the heap, never what can reach the driver. Ordering by
+    `order_col` makes the sample — and therefore the centroids — independent of
+    partition layout and scan order (deterministic across engines/runs).
     Lloyd iterations are deterministic (seeded init, stable argmin)."""
-    sample = df.select(vec_col)
+    sample = df.select(vec_col, order_col)
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    x = np.array([r[vec_col] for r in sample.collect()], dtype=np.float64)
+    rows = sample.orderBy(order_col).limit(max_train_rows).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -218,30 +228,85 @@ def ivf_topk_pruned(
     return brute_force_topk(stored, q, k, vec_col, id_col)
 
 
+def banded_lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    bits_per_table: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `sigs: array<long>` — one independent random-hyperplane signature per
+    band table (planes seeded per-table). Multi-table banding is the scale-safe
+    near-dup shape: each table's bucket population shrinks exponentially in
+    bits_per_table (2^12 buckets/table vs 2^6 for the old single flat signature),
+    while recall is recovered by OR-ing candidates across the n_tables tables —
+    exactly the MinHash-LSH band construction transplanted to hyperplane LSH."""
+    all_planes = np.stack([_planes(dim, bits_per_table, seed + 1000 * t) for t in range(n_tables)])
+    weights = (1 << np.arange(bits_per_table)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sigs_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = _stack(vecs, dim)
+        sigs = np.stack(
+            [((m @ all_planes[t].T) > 0).astype(np.int64) @ weights for t in range(n_tables)],
+            axis=1,
+        )
+        return pd.Series(list(sigs))
+
+    return df.withColumn("sigs", sigs_udf(F.col(vec_col)))
+
+
 def knn_self_join(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_tables: int = 4,
+    bits_per_table: int = 12,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket by LSH signature, exact
-    cosine only within buckets. → (id_a, id_b, cosine ≥ threshold)."""
+    """Embedding-cosine near-duplicate pairs: banded multi-table LSH candidates,
+    exact cosine only within (table, signature) buckets. → (id_a, id_b, cosine
+    ≥ threshold), id_a < id_b.
+
+    Scale shape: candidates only ever meet inside a (band, sig) equi-join key —
+    never an all-pairs stage. Per-bucket population is data_size / 2^bits_per_table
+    per table in expectation; `max_bucket_rows` hard-caps the quadratic blowup of
+    pathological buckets (near-constant embedding regions) by dropping buckets
+    denser than the cap, mirroring ngram_jaccard_pairs' max_df prune."""
     first = df.select(vec_col).first()
     dim = len(first[vec_col])
-    sigged = with_lsh_signature(df, dim, n_planes, seed, vec_col).select(
-        id_col, vec_col, "lsh_sig"
+    sigged = banded_lsh_signatures(df, dim, n_tables, bits_per_table, seed, vec_col)
+    banded = sigged.select(
+        id_col, vec_col, F.posexplode("sigs").alias("band", "sig")
     )
-    l, r = sigged.alias("l"), sigged.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.lsh_sig") == F.col("r.lsh_sig")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        F.col(f"l.{vec_col}").alias("va"),
-        F.col(f"r.{vec_col}").alias("vb"),
+    if max_bucket_rows is not None:
+        dense = (
+            banded.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_rows)
+            .select("band", "sig")
+        )
+        banded = banded.join(dense, ["band", "sig"], "left_anti")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
     @F.pandas_udf(DoubleType())

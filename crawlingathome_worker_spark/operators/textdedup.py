@@ -106,13 +106,16 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     threshold: float = 0.7,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature-estimated Jaccard.
 
     → (doc_a, doc_b, est_jaccard) with doc_a < doc_b and est_jaccard ≥ threshold.
     The only shuffle keys are (band, bucket_hash): no all-pairs stage exists.
+    Pass `num_perm` (the signature length) to avoid a probe job on `sigs`.
     """
-    num_perm = len(sigs.select("sig").first()["sig"])
+    if num_perm is None:
+        num_perm = len(sigs.select("sig").first()["sig"])
     rows_per_band = num_perm // bands
     banded = sigs.select(
         F.col(id_col),
@@ -185,22 +188,39 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
 
 
+def hash64_band_chunks(col: str, max_hamming: int) -> list:
+    """Split a 64-bit long column into (max_hamming + 1) bit-band chunk columns.
+
+    Pigeonhole guarantee: two hashes within hamming ≤ max_hamming differ in at
+    most max_hamming bands, so with max_hamming+1 bands at least one band is
+    EQUAL — band equality as an equi-join key has full recall for the radius.
+    Widths are 64 // nbands with the remainder spread over the low bands."""
+    nbands = max_hamming + 1
+    if nbands > 64:
+        raise ValueError(f"max_hamming={max_hamming} needs {nbands} bands > 64 bits")
+    base, extra = divmod(64, nbands)
+    chunks, start = [], 0
+    for b in range(nbands):
+        width = base + (1 if b < extra else 0)
+        mask = (1 << width) - 1
+        chunks.append(F.shiftrightunsigned(col, start).bitwiseAND(F.lit(mask)))
+        start += width
+    return chunks
+
+
 def simhash_near_pairs(
     fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by banded SimHash: 4 16-bit bands; hamming ≤ 3 ⇒ at least
-    one band equal (pigeonhole). → (doc_a, doc_b, hamming)."""
+    """Near-dup pairs by banded SimHash: (max_hamming + 1) bit-bands over the
+    64-bit fingerprint; hamming ≤ max_hamming ⇒ at least one band equal
+    (pigeonhole — full candidate recall for ANY radius, not just ≤ 3).
+    → (doc_a, doc_b, hamming)."""
     bands = fps.select(
         F.col(id_col),
         F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    (F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "chunk"),
+        F.posexplode(F.array(*hash64_band_chunks("simhash", max_hamming))).alias(
+            "band", "chunk"
+        ),
     )
     l, r = bands.alias("l"), bands.alias("r")
     cand = (

@@ -30,14 +30,25 @@ def run_job(
     collect_lineage: bool = False,
 ) -> list[dict]:
     """Process every WAT shard as one wave each, then `drain_waves` extra waves
-    with no new input (flushing the deferred frontier through politeness)."""
+    with no new input (flushing the deferred frontier through politeness).
+
+    Resume skips shards whose shard_key appears in a COMMITTED manifest — not
+    wave_no, which drain waves also advance (a wave_no-keyed resume would
+    silently skip unprocessed shards after a drain-containing run). The caller
+    contract is the reference's tracker contract: the shard sequence is stable
+    across restarts (crawlingathome.py:216-217 — the tracker hands out jobs in
+    a fixed order)."""
     manifests = []
-    done = {m["wave_no"] for m in _committed(wh)}
+    done = {m.get("shard_key") for m in _committed(wh)} - {None}
     for i, shard in enumerate(shards, start=1):
-        if i in done:  # already committed by a previous run — resume semantics
+        key = f"shard-{i:06d}"
+        if key in done:  # already committed by a previous run — resume semantics
             continue
         manifests.append(
-            run_wave(spark, wh, cfg, pairs, robots, shard, collect_lineage=collect_lineage)
+            run_wave(
+                spark, wh, cfg, pairs, robots, shard,
+                collect_lineage=collect_lineage, shard_key=key,
+            )
         )
     for _ in range(drain_waves):
         manifests.append(

@@ -26,7 +26,7 @@ from ..operators.dedup import seen_filter_exact
 from ..operators.fetch import classify_and_score, output_rows, simulated_fetch
 from ..operators.parse import parse_links
 from ..operators.politeness import politeness_split, robots_gate
-from ..operators.schedule import assign_sample_ids
+from ..operators.schedule import assign_sample_ids, unpersist_sample_ids
 from ..state.bloom import bloom_add, bloom_filter_unseen, empty_bloom
 from ..state.cuckoo import cuckoo_members, cuckoo_update, empty_cuckoo
 from ..state.snapshots import Warehouse
@@ -67,10 +67,16 @@ def run_wave(
     robots: DataFrame,
     wat_links: DataFrame | None = None,
     collect_lineage: bool = True,
+    shard_key: str | None = None,
 ) -> dict:
-    """Execute one wave; commit a snapshot; return the manifest."""
+    """Execute one wave; commit a snapshot; return the manifest.
+
+    `shard_key` identifies the input shard in the manifest so resume logic can
+    skip exactly the committed shards (wave_no alone is ambiguous once drain
+    waves — which also advance it — enter the history)."""
     parent = wh.latest()
     manifest = wh.new_manifest(parent)
+    manifest["shard_key"] = shard_key
     wave_no = manifest["wave_no"] = (parent["wave_no"] + 1) if parent else 1
     snap_id = manifest["snapshot_id"]
     start_id = manifest["next_sample_id"]
@@ -105,7 +111,15 @@ def run_wave(
     # the same logic as anti-joins against key tables (the oracle path).
     if cfg.dedup_mode == "bloom":
         bloom_c = wh.read_table(spark, parent, "bloom_clipped") or empty_bloom(spark, cfg.bloom)
-        bloom_p = wh.read_table(spark, parent, "bloom_parsed") or empty_bloom(spark, cfg.bloom)
+        bloom_p_base = wh.read_table(spark, parent, "bloom_parsed") or empty_bloom(spark, cfg.bloom)
+        # delta-maintained bloom: base bits ∪ per-wave key deltas, OR-merged at
+        # read (lazy — one extra cogroup in the same job), compacted below
+        parsed_deltas = (parent or {}).get("tables", {}).get("bloom_parsed_delta", [])
+        if parsed_deltas:
+            delta_keys = wh.read_table(spark, parent, "bloom_parsed_delta", RETRY_SCHEMA)
+            bloom_p = bloom_add(bloom_p_base, delta_keys, cfg.bloom, key="pair_md5")
+        else:
+            bloom_p = bloom_p_base
         cuckoo = wh.read_table(spark, parent, "cuckoo_state") or empty_cuckoo(spark, cfg.cuckoo)
         not_clipped = bloom_filter_unseen(cands, bloom_c, cfg.bloom, key="pair_md5")
         unseen = bloom_filter_unseen(not_clipped, bloom_p, cfg.bloom, key="pair_md5")
@@ -128,24 +142,70 @@ def run_wave(
     classified = classify_and_score(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     out = output_rows(classified).orderBy("sample_id")
 
-    # 7. state updates
+    # 7. state updates (lazy definitions; which ones are WRITTEN depends on mode)
     attempted = classified.select("pair_md5", "fetch_status")
-    new_seen = seen_keys.unionByName(
-        attempted.select("pair_md5").distinct().withColumn("kind", F.lit("parsed"))
-    ).dropDuplicates(["pair_md5", "kind"])
 
-    if cfg.reference_strict:
-        new_retry = retry_keys  # reference loses retries (B3) — keep state as-is
+    # 8. write tables. The deferred count rides an observe() on the frontier
+    # write (no separate count() job recomputing the politeness subtree), and
+    # candidates/unseen come from observe() nodes materialized by the same
+    # actions — lineage costs zero extra jobs unless collect_lineage is set.
+    tables = manifest["tables"]
+    obs_deferred = Observation("deferred")
+    frontier_out = deferred.select(*frontier.columns).observe(
+        obs_deferred, F.count(F.lit(1)).alias("n")
+    )
+    tables["frontier"] = [wh.write_table(frontier_out, "frontier", snap_id)]
+
+    if cfg.dedup_mode == "bloom":
+        # J4: bloom-add ALL attempted keys to "parsed" (crawlingathome.py:148-154).
+        # Delta maintenance: this wave writes only its KEYS; the 24-GB-design-
+        # point bit table is only rewritten at compaction. The clipped bloom is
+        # owned by the downstream CLIP stage: its parent pointer is carried
+        # forward untouched (never copied). seen/retry key TABLES are exact-mode
+        # state and are not written at all in bloom mode.
+        if parent and parent["tables"].get("bloom_clipped"):
+            tables["bloom_clipped"] = list(parent["tables"]["bloom_clipped"])
+        if len(parsed_deltas) + 1 >= cfg.bloom_compact_every:
+            new_base = bloom_add(bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
+            tables["bloom_parsed"] = [wh.write_table(new_base, "bloom_parsed", snap_id)]
+            tables["bloom_parsed_delta"] = []
+        else:
+            if parent and parent["tables"].get("bloom_parsed"):
+                tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
+            tables["bloom_parsed_delta"] = list(parsed_deltas) + [
+                wh.write_table(
+                    attempted.select("pair_md5").distinct(), "bloom_parsed_delta", snap_id
+                )
+            ]
+        if cfg.reference_strict:
+            if parent and parent["tables"].get("cuckoo_state"):
+                tables["cuckoo_state"] = list(parent["tables"]["cuckoo_state"])
+            else:
+                tables["cuckoo_state"] = [wh.write_table(cuckoo, "cuckoo_state", snap_id)]
+        else:
+            failures_k = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
+            resolved_k = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
+            new_cuckoo = cuckoo_update(
+                cuckoo, inserts=failures_k, deletes=resolved_k, params=cfg.cuckoo
+            )
+            tables["cuckoo_state"] = [wh.write_table(new_cuckoo, "cuckoo_state", snap_id)]
     else:
-        failures = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
-        resolved = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
-        new_retry = (
-            retry_keys.unionByName(failures).distinct().join(resolved, "pair_md5", "left_anti")
-        )
+        new_seen = seen_keys.unionByName(
+            attempted.select("pair_md5").distinct().withColumn("kind", F.lit("parsed"))
+        ).dropDuplicates(["pair_md5", "kind"])
+        if cfg.reference_strict:
+            new_retry = retry_keys  # reference loses retries (B3) — keep state as-is
+        else:
+            failures = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
+            resolved = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
+            new_retry = (
+                retry_keys.unionByName(failures).distinct().join(resolved, "pair_md5", "left_anti")
+            )
+        tables["seen_keys"] = [wh.write_table(new_seen, "seen_keys", snap_id)]
+        tables["retry_keys"] = [wh.write_table(new_retry, "retry_keys", snap_id)]
+    tables.setdefault("pairs_out", []).append(wh.write_table(out, "pairs_out", snap_id))
 
-    # 8. lineage + counters (A1, north_rule per-partition granularity).
-    # candidates/unseen come from observe() nodes — collected as a side effect
-    # of the one action that materializes the pipeline, costing zero extra jobs;
+    # 9. lineage + counters (A1, north_rule per-partition granularity);
     # statuses come from ONE groupBy over the persisted classified frame.
     status_counts = {
         r["fetch_status"]: r["count"]
@@ -158,7 +218,7 @@ def run_wave(
         "candidates": _obs_count(obs_cands, cands),
         "unseen": _obs_count(obs_unseen, unseen),
         "scheduled": n_scheduled,
-        "deferred": deferred.count(),
+        "deferred": _obs_count(obs_deferred, deferred),
         "fetched_ok": n_ok,
         "rejected": n_scheduled - n_ok - n_errors,
         "errors": n_errors,
@@ -169,28 +229,6 @@ def run_wave(
             "scheduled": _lineage(scheduled),
             "output": _lineage(out),
         }
-
-    # 9. write tables + atomic commit
-    tables = manifest["tables"]
-    tables["frontier"] = [wh.write_table(deferred.select(*frontier.columns), "frontier", snap_id)]
-    tables["seen_keys"] = [wh.write_table(new_seen, "seen_keys", snap_id)]
-    tables["retry_keys"] = [wh.write_table(new_retry, "retry_keys", snap_id)]
-    if cfg.dedup_mode == "bloom":
-        # J4: bloom-add ALL attempted keys to "parsed" (crawlingathome.py:148-154);
-        # the clipped bloom is owned by the downstream CLIP stage and not written here.
-        new_bloom_p = bloom_add(bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
-        tables["bloom_clipped"] = [wh.write_table(bloom_c, "bloom_clipped", snap_id)]
-        tables["bloom_parsed"] = [wh.write_table(new_bloom_p, "bloom_parsed", snap_id)]
-        if cfg.reference_strict:
-            new_cuckoo = cuckoo
-        else:
-            failures_k = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
-            resolved_k = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
-            new_cuckoo = cuckoo_update(
-                cuckoo, inserts=failures_k, deletes=resolved_k, params=cfg.cuckoo
-            )
-        tables["cuckoo_state"] = [wh.write_table(new_cuckoo, "cuckoo_state", snap_id)]
-    tables.setdefault("pairs_out", []).append(wh.write_table(out, "pairs_out", snap_id))
 
     # metrics table: totals (partition_id = -1) + per-partition lineage rows
     # (north_rule: per-partition fetched/filtered/rejected counters)
@@ -206,4 +244,5 @@ def run_wave(
     wh.commit(manifest)
     cands.unpersist()
     classified.unpersist()
+    unpersist_sample_ids(scheduled)
     return manifest

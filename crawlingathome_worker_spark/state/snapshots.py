@@ -46,10 +46,21 @@ class Warehouse:
         return os.path.join(self.root, "snapshots", f"{snap_id:06d}.json")
 
     def latest(self) -> dict | None:
-        snaps = sorted(os.listdir(os.path.join(self.root, "snapshots")))
+        """Latest COMMITTED manifest. Only `*.json` counts: a crash between
+        writing `NNNNNN.json.tmp` and os.replace leaves a stale .tmp that must
+        never be resumed from (it sorts after the last committed .json); stale
+        tmps are garbage-collected here."""
+        snap_dir = os.path.join(self.root, "snapshots")
+        entries = sorted(os.listdir(snap_dir))
+        for stale in (e for e in entries if e.endswith(".tmp")):
+            try:
+                os.unlink(os.path.join(snap_dir, stale))
+            except OSError:
+                pass
+        snaps = [e for e in entries if e.endswith(".json")]
         if not snaps:
             return None
-        with open(os.path.join(self.root, "snapshots", snaps[-1])) as f:
+        with open(os.path.join(snap_dir, snaps[-1])) as f:
             return json.load(f)
 
     def commit(self, manifest: dict) -> None:
