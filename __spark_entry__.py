@@ -697,5 +697,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT url FROM (SELECT DISTINCT url FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
             EXCEPT ALL SELECT url FROM seen
         """,
-        # q19-q22, q24, q26-q35 (non-SQL): UDF/LSH/image ops — rows-only checks
+        # q19-q22, q24, q26-q35: UDF/LSH/image ops have no direct SQL form; their
+        # oracles are GOLDEN PARQUET files computed by an independent non-Spark
+        # implementation (tests/golden_queries.py — brute-force pair finding,
+        # plain-int hashing, shared pinned semantic modules). DuckDB value-checks
+        # the Spark result against them. Regenerate after intentional semantic
+        # changes: python -m tests.gen_query_goldens
+        **{
+            q: f"SELECT * FROM read_parquet('{REPO}/golden/queries/{q.split('_')[0]}.parquet')"
+            for q in (
+                "q19_lang_pred",
+                "q20_minhash_lsh_pairs",
+                "q21_simhash_pairs",
+                "q22_ngram_jaccard",
+                "q24_ann_lsh",
+                "q26_embedding_neardup",
+                "q27_image_decode",
+                "q28_phash_groups",
+                "q29_clip_scores",
+                "q30_wave_flagship",
+                "q31_phash_near_pairs",
+                "q32_bpe_tokens",
+                "q33_image_resize",
+                "q34_video_frames",
+                "q35_ann_ivf",
+            )
+        },
     }
