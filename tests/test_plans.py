@@ -125,3 +125,60 @@ def test_lineitem_scan_prunes_for_q1(spark):
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_partkey" not in rs and "l_suppkey" not in rs  # pruned
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_politeness_deferred_has_no_antijoin_shuffle(spark, fx_dir):
+    """Deferred is the rank-filtered complement of the politeness windows — NOT
+    an anti-join of the wave back on url (VERDICT.md round-1 item 4). The plan
+    must contain no join at all and no url-keyed Exchange: only the two window
+    Exchanges ((host,_salt) then host) the top-k design calls for."""
+    from crawlingathome_worker_spark.operators.parse import parse_links
+    from crawlingathome_worker_spark.operators.politeness import politeness_split, robots_gate
+
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    gated = robots_gate(parse_links(links, CFG), robots, CFG)
+    _, deferred = politeness_split(gated, wave_no=1, cfg=CFG)
+    plan = _plan(deferred).split("== Initial Plan ==")[0]
+    assert "Join LeftAnti" not in plan and "SortMergeJoin" not in plan
+    # one linear plan: J1 url window + license page window + the two politeness
+    # windows = exactly 4 exchanges; the old anti-join added a 5th (url) plus a
+    # full recompute of this subtree as the join's right side
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 4, plan
+    n_joins = plan.count("Join")
+    assert n_joins == 1 and "BroadcastHashJoin" in plan  # robots gate only
+
+
+def test_knn_self_join_bucket_fanout_bounded(spark):
+    """Skewed embedding fixture: 40% of vectors are near-copies of one point
+    (one pathological LSH bucket per table). max_bucket_rows must drop those
+    buckets — candidate pairs stay bounded by cap²·tables instead of going
+    quadratic in the skew mass — while normal buckets still produce pairs."""
+    import numpy as np
+
+    from crawlingathome_worker_spark.operators.similarity import knn_self_join
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(200):
+        if i < 80:  # hot cluster: tiny perturbations of one vector
+            v = base + rng.standard_normal(16) * 1e-3
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = knn_self_join(df, threshold=0.99, n_tables=2, bits_per_table=4)
+    capped = knn_self_join(
+        df, threshold=0.99, n_tables=2, bits_per_table=4, max_bucket_rows=40
+    )
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    assert n_uncapped >= 80 * 79 / 2  # the hot cluster IS quadratic uncapped
+    assert n_capped < n_uncapped / 10  # cap drops the pathological buckets
+    # and the cap's filter is an aggregate + anti-join on the bucket key only —
+    # never a shuffle of the vectors by url/id
+    plan = _plan(capped)
+    assert "Exchange hashpartitioning(band" in plan or "Exchange hashpartitioning(sig" in plan
