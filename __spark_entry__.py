@@ -287,8 +287,12 @@ def q21_simhash_pairs(spark, sf_dir):
         simhash_near_pairs,
     )
 
+    # radius 3 = the classic simhash dedup radius (Manku et al., WWW'07): 4
+    # 16-bit bands give complete recall AND selective buckets. Larger radii are
+    # supported (bands = r+1) but each band narrows to 64/(r+1) bits, so bucket
+    # selectivity decays exponentially — at r=8 the candidate volume is ~50×.
     fps = simhash_fingerprints(_t(spark, sf_dir, "documents"))
-    return simhash_near_pairs(fps, max_hamming=8)
+    return simhash_near_pairs(fps, max_hamming=3)
 
 
 def q22_ngram_jaccard(spark, sf_dir):

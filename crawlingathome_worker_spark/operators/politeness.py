@@ -95,28 +95,28 @@ def politeness_split(
         salt = F.pmod(F.xxhash64(F.col("url")), F.coalesce(F.col("_nsalt"), F.lit(1)))
     else:
         salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
-    # ONE ranked frame decides the whole split — no anti-join back on url (the
-    # round-1 plan re-shuffled the entire wave on url and recomputed the
-    # frontier subtree to derive `deferred`). Phase 1: row_number within
-    # (host, salt). Phase 2: the per-host rank AMONG PHASE-1 SURVIVORS is the
-    # running count of survivors in priority order (a cumulative-sum window on
-    # the same host partitioning), which equals row_number over the survivors
-    # without materializing them as a separate frame. scheduled and deferred
-    # are then complementary filters of the same plan.
+    # The rank columns fully determine the split, so `deferred` is the union of
+    # the two rank complements — no anti-join back on url (the round-1 plan
+    # re-shuffled the entire wave on url and recomputed the frontier subtree).
+    # Phase 2 must rank ONLY phase-1 survivors (at most salt_buckets × budget
+    # rows per host): ranking the full wave per host would put the hot host's
+    # entire row set back into one window task — the straggler the two-phase
+    # design exists to kill. The union re-reads the upstream twice, which is
+    # cheap where it matters (run_wave persists the candidate frame) and
+    # strictly less work than the anti-join's url shuffle + subtree recompute.
     w1 = Window.partitionBy("host", "_salt").orderBy("priority_key", "url")
-    w2 = (
-        Window.partitionBy("host")
-        .orderBy("priority_key", "url")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked1 = df.withColumn("_salt", salt).withColumn("_r1", F.row_number().over(w1))
+    local = ranked1.filter(F.col("_r1") <= F.col("host_budget")).drop("_r1", "_salt")
+    w2 = Window.partitionBy("host").orderBy("priority_key", "url")
+    ranked2 = local.withColumn("_r2", F.row_number().over(w2))
+    scheduled = ranked2.filter(F.col("_r2") <= F.col("host_budget")).drop("_r2")
+    drop_cols = ["priority_key"] + (["_nsalt"] if cfg.adaptive_salt else [])
+    deferred = (
+        ranked1.filter(F.col("_r1") > F.col("host_budget"))
+        .drop("_r1", "_salt")
+        .unionByName(ranked2.filter(F.col("_r2") > F.col("host_budget")).drop("_r2"))
+        .drop(*drop_cols)
     )
-    surv1 = F.col("_r1") <= F.col("host_budget")
-    ranked = (
-        df.withColumn("_salt", salt)
-        .withColumn("_r1", F.row_number().over(w1))
-        .withColumn("_r2", F.sum(F.when(surv1, 1).otherwise(0)).over(w2))
-    )
-    keep = surv1 & (F.col("_r2") <= F.col("host_budget"))
-    rank_cols = ["_r1", "_r2", "_salt"] + (["_nsalt"] if cfg.adaptive_salt else [])
-    scheduled = ranked.filter(keep).drop(*rank_cols)
-    deferred = ranked.filter(~keep).drop(*rank_cols, "priority_key")
+    if cfg.adaptive_salt:
+        scheduled = scheduled.drop("_nsalt")
     return scheduled, deferred

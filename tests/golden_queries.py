@@ -157,7 +157,7 @@ def _simhash(text: str) -> int:
     return fp - (1 << 64) if fp >= (1 << 63) else fp  # as signed int64
 
 
-def g21_simhash_pairs(sf_dir: str, fx_dir: str, max_hamming: int = 8) -> pa.Table:
+def g21_simhash_pairs(sf_dir: str, fx_dir: str, max_hamming: int = 3) -> pa.Table:
     """BRUTE-FORCE all-pairs hamming — independent of the engine's banding, so
     this golden also proves the pigeonhole banding has full recall."""
     docs = _docs(sf_dir)
