@@ -152,3 +152,51 @@ def test_phash_dedup_collapses_neardups(spark, fx_dir):
     near = phash_near_pairs(pairs, max_hamming=3)
     assert near.count() >= (n - deduped)  # every collapsed dup is also a near-pair
     assert near.filter(F.col("hamming") > 3).count() == 0
+
+
+def test_bloom_delta_compaction_cycle(spark, inputs, tmp_path_factory):
+    """Delta-maintained bloom across a compaction boundary: with
+    bloom_compact_every=2, wave 1 appends a key delta, wave 2 compacts
+    (materializes base bits, clears deltas), wave 3 appends on the new base.
+    Results must equal exact mode at every wave, and the manifests must show
+    the delta/base lifecycle (the 24-GB-design-point rewrite happens once per
+    compaction, not per wave)."""
+    from crawlingathome_worker_spark.config import CuckooParams
+
+    links, pairs, robots, seen, retry = inputs
+    half = links.filter(F.col("page_id") < 75)
+    params = BloomParams(capacity=1_000_000, fpr=1e-5, partitions=4)
+    ck = CuckooParams(buckets_per_partition=1 << 14, partitions=4)
+    shards = [half, links, half]
+
+    cfg_e = EngineConfig(default_host_budget=15, dedup_mode="exact")
+    wh_e = Warehouse(str(tmp_path_factory.mktemp("wh_exact_c")))
+    _seed_wh(spark, wh_e, seen, retry)
+    m_e = [run_wave(spark, wh_e, cfg_e, pairs, robots, s, collect_lineage=False) for s in shards]
+
+    cfg_b = EngineConfig(
+        default_host_budget=15, dedup_mode="bloom", bloom=params, cuckoo=ck,
+        bloom_compact_every=2,
+    )
+    wh_b = Warehouse(str(tmp_path_factory.mktemp("wh_bloom_c")))
+    _seed_wh(spark, wh_b, seen, retry, bloom_params=params, cuckoo_params=ck)
+    m_b = [run_wave(spark, wh_b, cfg_b, pairs, robots, s, collect_lineage=False) for s in shards]
+
+    for e, b in zip(m_e, m_b):
+        assert b["counters"] == e["counters"]
+    # lifecycle: wave1 = seeded base + 1 delta; wave2 = compacted new base,
+    # deltas cleared; wave3 = carried base pointer + 1 fresh delta
+    assert len(m_b[0]["tables"]["bloom_parsed_delta"]) == 1
+    assert m_b[1]["tables"]["bloom_parsed_delta"] == []
+    assert m_b[1]["tables"]["bloom_parsed"] != m_b[0]["tables"]["bloom_parsed"]
+    assert len(m_b[2]["tables"]["bloom_parsed_delta"]) == 1
+    assert m_b[2]["tables"]["bloom_parsed"] == m_b[1]["tables"]["bloom_parsed"]
+    out_e = {
+        (r["sample_id"], r["url"])
+        for r in wh_e.read_table(spark, wh_e.latest(), "pairs_out").collect()
+    }
+    out_b = {
+        (r["sample_id"], r["url"])
+        for r in wh_b.read_table(spark, wh_b.latest(), "pairs_out").collect()
+    }
+    assert out_e == out_b
