@@ -468,6 +468,39 @@ def q37_frontier_set_ops(spark, sf_dir):
     return wave_a.union(wave_b).distinct().exceptAll(seen.distinct()).select("url")
 
 
+def q38_corpus_build(spark, sf_dir):
+    """Composed training-data pipeline: exact-dedup (keep first) → language
+    gate (en) → quality gate → per-doc token stats. The shape every LLM corpus
+    build runs; each stage is an already-oracled operator, composed."""
+    from crawlingathome_worker_spark.operators.textdedup import exact_dedup
+    from crawlingathome_worker_spark.operators.textstats import (
+        with_lang_pred,
+        with_quality,
+        with_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs)
+    kept = with_lang_pred(kept).filter(F.col("lang_pred") == "en")
+    kept = with_quality(kept).filter(F.col("quality") >= 0.5)
+    return with_token_count(kept).select("doc_id", "n_tokens", "quality")
+
+
+def q39_neardup_drop(spark, sf_dir):
+    """Near-dup REMOVAL decision from MinHash-LSH pairs: greedy keep-lowest-id
+    (a doc is dropped iff some smaller-id doc estimates ≥ threshold against
+    it). Greedy-by-id, not transitive closure — the standard single-pass rule
+    (transitive chaining over-merges at corpus scale)."""
+    from crawlingathome_worker_spark.operators.textdedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), num_perm=64)
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.5, num_perm=64)
+    return pairs.select(F.col("doc_b").alias("drop_id")).distinct()
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -547,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_ann_ivf": q35_ann_ivf,
         "q36_seen_semijoin": q36_seen_semijoin,
         "q37_frontier_set_ops": q37_frontier_set_ops,
+        "q38_corpus_build": q38_corpus_build,
+        "q39_neardup_drop": q39_neardup_drop,
     }
 
 
@@ -700,6 +735,34 @@ def oracle_sql() -> dict[str, str]:
             seen AS (SELECT DISTINCT url FROM links WHERE link_id % 5 = 0)
             SELECT url FROM (SELECT DISTINCT url FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
             EXCEPT ALL SELECT url FROM seen
+        """,
+        # Composed pipelines: SQL stages expressed directly; the langid / LSH
+        # stage reuses its golden parquet (mixed golden+SQL oracle).
+        "q38_corpus_build": f"""
+            WITH keep AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            lang AS (SELECT doc_id FROM read_parquet('{REPO}/golden/queries/q19.parquet')
+                     WHERE lang_pred = 'en'),
+            q AS (
+              SELECT d.doc_id,
+                     CASE WHEN trim(d.text) = '' THEN 0
+                          ELSE length(trim(d.text)) - length(replace(trim(d.text), ' ', '')) + 1
+                     END AS n_tokens,
+                     round(least(1.0,
+                       0.5 * (len(list_filter(string_split(trim(d.text), ' '),
+                                              x -> list_contains([{", ".join(f"'{w}'" for w in _EN_STOP)}], x)))
+                              / greatest(len(string_split(trim(d.text), ' ')), 1)::DOUBLE) * 4
+                       + 0.5 * (length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                                / greatest(length(d.text), 1)::DOUBLE)), 4) AS quality
+              FROM documents d
+              JOIN keep USING (doc_id) JOIN lang USING (doc_id))
+            SELECT doc_id, n_tokens, quality FROM q WHERE quality >= 0.5
+        """,
+        "q39_neardup_drop": f"""
+            SELECT DISTINCT doc_b AS drop_id
+            FROM read_parquet('{REPO}/golden/queries/q20.parquet')
         """,
         # q19-q22, q24, q26-q35: UDF/LSH/image ops have no direct SQL form; their
         # oracles are GOLDEN PARQUET files computed by an independent non-Spark

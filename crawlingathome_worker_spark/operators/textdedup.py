@@ -74,18 +74,24 @@ def minhash_signatures(
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
+        # Shingles repeat heavily across documents (natural-language n-grams are
+        # Zipfian): memoize the FNV base hash per batch so the Python byte loop
+        # runs once per DISTINCT shingle, not once per occurrence.
+        hcache: dict[str, int] = {}
         for t in texts:
             toks = t.split() if isinstance(t, str) else []
             if len(toks) < shingle_len:
-                shingles = [" ".join(toks)] if toks else [""]
+                shingles = {" ".join(toks)} if toks else {""}
             else:
-                shingles = [
+                shingles = {
                     " ".join(toks[i : i + shingle_len])
                     for i in range(len(toks) - shingle_len + 1)
-                ]
+                }
             # base hashes: FNV-1a over utf-8, vectorized finish with (a*h+b) mod p
             hs = np.fromiter(
-                (_fnv1a(s) for s in set(shingles)), dtype=np.uint64, count=len(set(shingles))
+                (hcache.get(s) or hcache.setdefault(s, _fnv1a(s)) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
             )
             sig = ((a_params[:, None] * hs[None, :] + b_params[:, None]) % _MERSENNE).min(axis=1)
             out.append(sig.astype(np.int64).tolist())
@@ -172,11 +178,16 @@ def simhash_fingerprints(
     def sim_udf(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
         weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        hcache: dict[str, int] = {}  # tokens are Zipfian — hash each once per batch
         for i, t in enumerate(texts):
             toks = t.split() if isinstance(t, str) else []
             if not toks:
                 continue
-            hs = np.fromiter((_fnv1a(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+            hs = np.fromiter(
+                (hcache.get(tok) or hcache.setdefault(tok, _fnv1a(tok)) for tok in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
             bits = ((hs[:, None] & weights[None, :]) != 0).astype(np.int32)
             votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 votes
             fp = np.uint64(0)

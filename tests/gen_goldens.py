@@ -51,7 +51,36 @@ def main():
                 w.writerow([c.sample_id, c.url, c.fetch_status])
     with open(os.path.join(GOLDEN, "counters.json"), "w") as f:
         json.dump({"wave1": o1["counters"], "wave2": o2["counters"]}, f, indent=1, sort_keys=True)
+    write_pixel_golden(o1)
     print(f"goldens written to {GOLDEN}")
+
+
+def write_pixel_golden(o1: dict) -> None:
+    """Byte-stable OUTPUT golden (ROADMAP round-1 item 6): the full wave-1
+    output rows, image bytes included, as committed parquet. The e2e test
+    compares a Spark wave's pairs_out to this byte-for-byte — regression
+    coverage for the codec, pHash, and caption pipeline at the OUTPUT level
+    (seen-set/order/counters goldens don't see payload corruption)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(o1["outputs"], key=lambda r: r["sample_id"])
+    table = pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+            "caption": pa.array([r["caption"] for r in rows], pa.string()),
+            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+            "sample_id": pa.array([r["sample_id"] for r in rows], pa.int64()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "license": pa.array([r["license"] for r in rows], pa.string()),
+            "score": pa.array([r["score"] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(GOLDEN, "pairs_out_wave1.parquet"))
 
 
 if __name__ == "__main__":

@@ -166,3 +166,32 @@ def test_sample_ids_contiguous(e2e):
     n1 = m1["counters"]["scheduled"]
     assert m1["next_sample_id"] == n1
     assert m2["next_sample_id"] == n1 + m2["counters"]["scheduled"]
+
+
+def test_output_rows_match_committed_pixel_golden(e2e):
+    """Byte-stable OUTPUT regression: engine wave-1 pairs_out ≡ the committed
+    golden parquet (golden/pairs_out_wave1.parquet, written by gen_goldens from
+    the oracle) — including the raw image BYTES, pHash, and captions. Catches
+    payload corruption that seen-set/order/counters goldens can't see."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .gen_goldens import GOLDEN
+
+    m1, _, wh = e2e["engine"]
+    spark = e2e["spark"]
+    golden = pq.read_table(os.path.join(GOLDEN, "pairs_out_wave1.parquet")).to_pylist()
+    got = sorted(
+        (
+            r.asDict()
+            for r in wh.read_table(spark, m1, "pairs_out").collect()
+        ),
+        key=lambda r: r["sample_id"],
+    )
+    assert len(got) == len(golden) > 50
+    for g, w in zip(got, golden):
+        for col in ("image_id", "w", "h", "fmt", "caption", "phash", "sample_id", "url", "license"):
+            assert g[col] == w[col], (col, g["sample_id"])
+        assert bytes(g["bytes"]) == w["bytes"]
+        assert abs(float(g["score"]) - w["score"]) < 1e-6
