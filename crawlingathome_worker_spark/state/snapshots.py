@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -62,6 +63,55 @@ class Warehouse:
             return None
         with open(os.path.join(snap_dir, snaps[-1])) as f:
             return json.load(f)
+
+    def manifest(self, snap_id: int) -> dict | None:
+        """Time travel: load a specific committed snapshot's manifest (pass it
+        to read_table to query the warehouse AS OF that snapshot — Iceberg's
+        `VERSION AS OF`, manifest-file style)."""
+        path = self._snap_path(snap_id)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def committed(self) -> list[dict]:
+        """All committed manifests, oldest → newest."""
+        snap_dir = os.path.join(self.root, "snapshots")
+        out = []
+        for name in sorted(os.listdir(snap_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(snap_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def gc(self, keep_last: int = 2) -> list[str]:
+        """Expire old snapshots (Iceberg `expireSnapshots` analog): keep the
+        newest `keep_last` manifests, delete every table directory no kept
+        manifest references, then drop the expired manifests. Append tables
+        (pairs_out/metrics) survive automatically — the latest manifest
+        carries their full directory history. Returns the deleted rel paths.
+
+        Safe vs concurrent readers of the KEPT snapshots only — like Iceberg,
+        expiring a snapshot invalidates time travel to it."""
+        manifests = self.committed()
+        if len(manifests) <= keep_last:
+            return []
+        kept = manifests[-keep_last:]
+        referenced = {
+            rel for m in kept for paths in m["tables"].values() for rel in paths
+        }
+        deleted = []
+        tables_root = os.path.join(self.root, "tables")
+        for table in sorted(os.listdir(tables_root)):
+            tdir = os.path.join(tables_root, table)
+            for snap in sorted(os.listdir(tdir)):
+                rel = os.path.join("tables", table, snap)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(self.root, rel))
+                    deleted.append(rel)
+        for m in manifests[:-keep_last]:
+            os.unlink(self._snap_path(m["snapshot_id"]))
+        return deleted
 
     def commit(self, manifest: dict) -> None:
         """Atomic: the snapshot exists iff the rename completed."""
