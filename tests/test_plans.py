@@ -183,3 +183,34 @@ def test_knn_self_join_bucket_fanout_bounded(spark):
     # never a shuffle of the vectors by url/id
     plan = _plan(capped)
     assert "Exchange hashpartitioning(band" in plan or "Exchange hashpartitioning(sig" in plan
+
+
+def test_minhash_lsh_join_is_bucket_keyed(spark):
+    """q20's pair join must shuffle on the (band, bucket) LSH key — never a
+    cartesian/broadcast-nested-loop over documents, and no probe job thanks to
+    num_perm plumbing (the plan builds without touching data)."""
+    from crawlingathome_worker_spark.operators.textdedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, num_perm=64)
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.5, num_perm=64)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bucket" in plan  # equi-join keys
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_build_scans_once_with_pushdown(spark):
+    """q38 composes 4 operators; the physical plan must still be ONE documents
+    scan feeding one linear pipeline (dedup window → UDF gate → JVM filters),
+    with column pruning to the two columns the pipeline needs."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["q38_corpus_build"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema.split("text")[1][:60]  # unused cols pruned
