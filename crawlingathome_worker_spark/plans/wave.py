@@ -27,8 +27,8 @@ from ..operators.fetch import classify_and_score, output_rows, simulated_fetch
 from ..operators.parse import parse_links
 from ..operators.politeness import politeness_split, robots_gate
 from ..operators.schedule import assign_sample_ids, unpersist_sample_ids
-from ..state.bloom import bloom_add, bloom_filter_unseen, empty_bloom
-from ..state.cuckoo import cuckoo_members, cuckoo_update, empty_cuckoo
+from ..state.bloom import bloom_add, empty_bloom, seen_gate_bloom
+from ..state.cuckoo import cuckoo_update, empty_cuckoo
 from ..state.snapshots import Warehouse
 
 FRONTIER_SCHEMA = (
@@ -121,10 +121,12 @@ def run_wave(
         else:
             bloom_p = bloom_p_base
         cuckoo = wh.read_table(spark, parent, "cuckoo_state") or empty_cuckoo(spark, cfg.cuckoo)
-        not_clipped = bloom_filter_unseen(cands, bloom_c, cfg.bloom, key="pair_md5")
-        unseen = bloom_filter_unseen(not_clipped, bloom_p, cfg.bloom, key="pair_md5")
-        retried = cuckoo_members(not_clipped, cuckoo, cfg.cuckoo, key="pair_md5")
-        unseen = unseen.unionByName(retried).dropDuplicates(["canonical_url"])
+        # FUSED gate: clipped ∧ parsed ∧ retry membership in ONE cogroup
+        # shuffle of the wave (the states are co-partitioned by the same key);
+        # replaces two bloom shuffles + a cuckoo shuffle + union + dedup.
+        unseen = seen_gate_bloom(
+            cands, bloom_c, bloom_p, cuckoo, cfg.bloom, cfg.cuckoo, key="pair_md5"
+        )
     else:
         unseen = seen_filter_exact(cands, seen_keys, retry_keys)
     obs_unseen = Observation("unseen")

@@ -114,6 +114,88 @@ def bloom_add(
     )
 
 
+def seen_gate_bloom(
+    candidates: DataFrame,
+    bloom_clipped: DataFrame,
+    bloom_parsed: DataFrame,
+    cuckoo: DataFrame,
+    bloom_params: "BloomParams",
+    cuckoo_params,
+    key: str = "pair_md5",
+) -> DataFrame:
+    """FUSED seen gate: clipped-bloom + parsed-bloom + cuckoo-retry membership
+    in ONE cogroup shuffle.
+
+    The unfused pipeline (bloom_filter_unseen ×2 + cuckoo_members + union +
+    dropDuplicates) shuffles the candidate wave on the same pmod(hash(key), P)
+    key THREE times. All three state tables are co-partitioned by that key, so
+    one cogroup against the kind-tagged union of their partition rows computes
+    the full reference predicate per row —
+        pass ⇔ ¬clipped ∧ (¬parsed ∨ retryable)
+    (crawlingathome.py:82-95 two bloom families; north_rule J5 retry override)
+    — with one candidate shuffle and no union/dedup stage."""
+    if bloom_params.partitions != cuckoo_params.partitions:
+        raise ValueError(
+            "fused gate needs bloom and cuckoo co-partitioned: "
+            f"{bloom_params.partitions} != {cuckoo_params.partitions}"
+        )
+    from .cuckoo import _fp_and_buckets
+
+    m = bloom_params.bits_per_partition
+    k = bloom_params.num_hashes
+    nbuckets = cuckoo_params.buckets_per_partition
+    nslots = cuckoo_params.slots_per_bucket
+    probed = _with_probe_cols(candidates, key, bloom_params).withColumn(
+        "_ch", F.xxhash64(F.concat(F.col(key), F.lit("#cuckoo")))
+    )
+    state = (
+        bloom_clipped.select("part", F.lit("c").alias("kind"), F.col("bits").alias("blob"))
+        .unionByName(
+            bloom_parsed.select("part", F.lit("p").alias("kind"), F.col("bits").alias("blob"))
+        )
+        .unionByName(cuckoo.select("part", F.lit("k").alias("kind"), F.col("tbl").alias("blob")))
+    )
+    out_cols = candidates.columns
+
+    def gate(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=out_cols)
+        blobs = dict(zip(right["kind"], right["blob"]))
+        h1 = left["_h1"].to_numpy(np.int64).view(np.uint64)
+        h2 = left["_h2"].to_numpy(np.int64).view(np.uint64)
+
+        def bloom_seen(blob) -> np.ndarray:
+            if blob is None:
+                return np.zeros(len(left), dtype=bool)
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            seen = np.ones(len(left), dtype=bool)
+            for j in range(k):
+                idx = _probe_idx(h1, h2, j, m)
+                seen &= (
+                    bits[(idx >> np.uint64(3)).astype(np.int64)]
+                    >> (idx & np.uint64(7)).astype(np.uint8)
+                ) & 1 != 0
+            return seen
+
+        seen_c = bloom_seen(blobs.get("c"))
+        seen_p = bloom_seen(blobs.get("p"))
+        if "k" in blobs:
+            tbl = np.frombuffer(blobs["k"], dtype=np.uint16).reshape(nbuckets, nslots)
+            ch = left["_ch"].to_numpy(np.int64).view(np.uint64)
+            fp, b1, b2 = _fp_and_buckets(ch, nbuckets)
+            retry = (tbl[b1] == fp[:, None]).any(axis=1) | (tbl[b2] == fp[:, None]).any(axis=1)
+        else:
+            retry = np.zeros(len(left), dtype=bool)
+        keep = ~seen_c & (~seen_p | retry)
+        return left.loc[keep, out_cols]
+
+    return (
+        probed.groupBy("_bpart")
+        .cogroup(state.groupBy("part"))
+        .applyInPandas(gate, candidates.schema)
+    )
+
+
 def bloom_fill_ratio(state: DataFrame) -> float:
     """Diagnostic: fraction of set bits (spark-side popcount via mapInPandas)."""
 

@@ -214,3 +214,22 @@ def test_corpus_build_scans_once_with_pushdown(spark):
     read_schema = plan.split("ReadSchema:")[1][:200]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema.split("text")[1][:60]  # unused cols pruned
+
+
+def test_fused_seen_gate_is_one_cogroup(spark):
+    """Bloom-mode seen gate: ONE FlatMapCoGroupsInPandas (single candidate
+    shuffle) for clipped+parsed+retry membership — the unfused pipeline had
+    three cogroups plus a union+dedup stage."""
+    from crawlingathome_worker_spark.config import BloomParams, CuckooParams
+    from crawlingathome_worker_spark.state.bloom import empty_bloom, seen_gate_bloom
+    from crawlingathome_worker_spark.state.cuckoo import empty_cuckoo
+
+    bp = BloomParams(capacity=10_000, fpr=1e-4, partitions=4)
+    cp = CuckooParams(buckets_per_partition=1 << 10, partitions=4)
+    cands = spark.createDataFrame([("k%d" % i,) for i in range(100)], "pair_md5 string")
+    gate = seen_gate_bloom(
+        cands, empty_bloom(spark, bp), empty_bloom(spark, bp), empty_cuckoo(spark, cp), bp, cp
+    )
+    plan = _plan(gate)
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert gate.count() == 100  # empty state gates nothing
