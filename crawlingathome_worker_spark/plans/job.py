@@ -39,7 +39,7 @@ def run_job(
     across restarts (crawlingathome.py:216-217 — the tracker hands out jobs in
     a fixed order)."""
     manifests = []
-    done = {m.get("shard_key") for m in _committed(wh)} - {None}
+    done = {m.get("shard_key") for m in wh.committed()} - {None}
     for i, shard in enumerate(shards, start=1):
         key = f"shard-{i:06d}"
         if key in done:  # already committed by a previous run — resume semantics
@@ -57,18 +57,3 @@ def run_job(
     return manifests
 
 
-def _committed(wh: Warehouse) -> list[dict]:
-    m = wh.latest()
-    out = []
-    while m is not None:
-        out.append(m)
-        parent = m.get("parent")
-        if parent is None:
-            break
-        import json
-        import os
-
-        path = os.path.join(wh.root, "snapshots", f"{parent:06d}.json")
-        with open(path) as f:
-            m = json.load(f)
-    return out

@@ -60,6 +60,9 @@ def main() -> None:
         for i in range(args.waves)
     ]
     manifests = run_job(spark, wh, cfg, shards, pairs, robots, drain_waves=args.drain)
+    n_skipped = len(shards) - sum(1 for m in manifests if m.get("shard_key"))
+    if n_skipped:
+        print(json.dumps({"resumed": True, "shards_skipped": n_skipped}))
     for m in manifests:
         print(json.dumps({"wave": m["wave_no"], **m["counters"]}))
     spark.stop()
