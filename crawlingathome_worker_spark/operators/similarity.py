@@ -119,6 +119,45 @@ def lsh_bucketed_topk(
     return brute_force_topk(bucket, q, k, vec_col, id_col)
 
 
+def write_lsh_partitioned(
+    df: DataFrame,
+    dim: int,
+    path: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the embedding table PARTITIONED BY its LSH signature: a stored
+    ANN query then reads only the probed buckets' files via Catalyst partition
+    pruning (same at-rest pattern as write_ivf_partitioned — on Iceberg this is
+    a partition transform on the signature column)."""
+    with_lsh_signature(df, dim, n_planes, seed, vec_col).write.mode("overwrite").partitionBy(
+        "lsh_sig"
+    ).parquet(path)
+
+
+def lsh_topk_pruned(
+    spark,
+    path: str,
+    query: np.ndarray,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN over the LSH-partitioned store: the signature filter prunes at the
+    FILE level (assert `PartitionFilters` in the scan), so a query touches
+    (n_planes+1)/2^n_planes of the data instead of scanning the world."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _planes(len(q), n_planes, seed)
+    qsig = int(((q @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+    sigs = [qsig] + ([qsig ^ (1 << b) for b in range(n_planes)] if multiprobe else [])
+    stored = spark.read.parquet(path).filter(F.col("lsh_sig").isin(sigs))
+    return brute_force_topk(stored, q, k, vec_col, id_col)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,

@@ -102,3 +102,28 @@ def test_ivf_partition_pruning(spark, tmp_path):
     got = {r["vec_id"] for r in out.collect()}
     want = {r["vec_id"] for r in ivf_topk(df, cents, q, k=10, n_probe=2).collect()}
     assert got == want
+
+
+def test_lsh_store_partition_pruning(spark, tmp_path):
+    """At-rest LSH layout (mirror of the IVF store): the signature filter must
+    prune at the FILE level and return the same top-k as the scan-time path."""
+    from crawlingathome_worker_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_topk_pruned,
+        write_lsh_partitioned,
+    )
+
+    df, vecs = _embeddings(spark)
+    path = str(tmp_path / "emb_lsh")
+    write_lsh_partitioned(df, dim=vecs.shape[1], path=path, n_planes=8)
+
+    q = vecs[7]
+    out = lsh_topk_pruned(spark, path, q, k=5, n_planes=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_sig" in plan.split("PartitionFilters")[1][:120]
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in out.collect()]
+    want = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in lsh_bucketed_topk(df, q, k=5, n_planes=8).collect()
+    ]
+    assert got == want and len(got) > 0

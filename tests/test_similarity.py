@@ -59,3 +59,43 @@ def test_knn_self_join_finds_neardups(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
     # random 32-d vectors essentially never exceed 0.95 cosine
     assert all({a, b} <= {0, 1, 2} for (a, b) in pairs)
+
+
+def test_knn_banded_recall_matches_lsh_math(spark):
+    """Recall calibration for the banded multi-table near-dup join: for a pair
+    at angle θ, P(candidate) = 1 - (1 - (1-θ/π)^bits)^tables. Plant 150 pairs
+    at a known cosine and check the empirical recall against the formula
+    (deterministic given the seeded planes — the tolerance absorbs the
+    binomial spread of the 150 planted angles, not run-to-run noise)."""
+    import math
+
+    from crawlingathome_worker_spark.operators.similarity import knn_self_join
+
+    rng = np.random.default_rng(11)
+    dim, n_pairs, noise = 32, 150, 0.28
+    rows, target = [], []
+    for i in range(n_pairs):
+        a = rng.standard_normal(dim)
+        b = a + rng.standard_normal(dim) * noise  # cosine ≈ 0.96
+        rows.append((2 * i, [float(x) for x in a]))
+        rows.append((2 * i + 1, [float(x) for x in b]))
+        ca = a / np.linalg.norm(a)
+        cb = b / np.linalg.norm(b)
+        target.append(float(ca @ cb))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bits, tables = 10, 3
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in knn_self_join(
+            df, threshold=0.9, n_tables=tables, bits_per_table=bits
+        ).collect()
+    }
+    planted = [(2 * i, 2 * i + 1) for i in range(n_pairs) if target[i] >= 0.9]
+    found = sum(1 for p in planted if p in got)
+    recall = found / len(planted)
+    theta = sum(math.acos(min(t, 1.0)) for t in target) / len(target)
+    p_bit = 1 - theta / math.pi
+    expect = 1 - (1 - p_bit**bits) ** tables
+    assert abs(recall - expect) < 0.15, (recall, expect)
+    assert recall > 0.5  # the operator is actually useful at these settings
