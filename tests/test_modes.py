@@ -200,3 +200,35 @@ def test_bloom_delta_compaction_cycle(spark, inputs, tmp_path_factory):
         for r in wh_b.read_table(spark, wh_b.latest(), "pairs_out").collect()
     }
     assert out_e == out_b
+
+
+def test_streaming_restart_does_not_reprocess(spark, fx_dir, tmp_path_factory):
+    """Restarting the stream with the SAME checkpoint must not re-run waves for
+    already-committed input files (file-source dedup via checkpoint = the
+    exactly-once half the manifest can't see)."""
+    import shutil
+
+    from crawlingathome_worker_spark.streaming.incremental import stream_waves
+
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    cfg = EngineConfig(default_host_budget=25)
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_restart")))
+    _seed_wh(
+        spark,
+        wh,
+        spark.createDataFrame([], "pair_md5 string, kind string"),
+        spark.createDataFrame([], "pair_md5 string"),
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_restart"))
+    watch = tmp_path_factory.mktemp("watch_restart")
+    shutil.copy(f"{fx_dir}/wat_lines.txt", watch / "shard-000.wat")
+
+    stream_waves(spark, wh, cfg, str(watch), ckpt, pairs, robots)
+    wave_after_first = wh.latest()["wave_no"]
+    stream_waves(spark, wh, cfg, str(watch), ckpt, pairs, robots)  # restart, same file
+    assert wh.latest()["wave_no"] == wave_after_first  # nothing reprocessed
+
+    shutil.copy(f"{fx_dir}/wat_lines.txt", watch / "shard-001.wat")  # NEW file
+    stream_waves(spark, wh, cfg, str(watch), ckpt, pairs, robots)
+    assert wh.latest()["wave_no"] == wave_after_first + 1  # exactly one more wave

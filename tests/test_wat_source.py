@@ -47,3 +47,23 @@ def test_pushdown_visible_in_plan(spark, fx_dir):
     filt = simple.find("Contains")
     fj = simple.find("from_json")
     assert filt != -1 and fj != -1 and fj < filt  # tree prints top-down: json above filter
+
+
+def test_gzipped_wat_reads_identically(spark, fx_dir, tmp_path):
+    """Common Crawl ships WAT as .gz — the text source must produce the same
+    link records from a gzipped shard (Spark's codec inference, no extra code;
+    this test pins that the path stays exercised)."""
+    import gzip
+    import shutil
+
+    from crawlingathome_worker_spark.sources.wat import read_wat_lines
+
+    gz = str(tmp_path / "shard.wat.gz")
+    with open(f"{fx_dir}/wat_lines.txt", "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    plain = read_wat_lines(spark, f"{fx_dir}/wat_lines.txt")
+    gzed = read_wat_lines(spark, gz)
+    cols = ["page_url", "pos", "link_url", "alt"]  # page_id is per-scan monotonic
+    a = sorted(tuple(r) for r in plain.select(*cols).collect())
+    b = sorted(tuple(r) for r in gzed.select(*cols).collect())
+    assert a == b and len(a) > 1000
