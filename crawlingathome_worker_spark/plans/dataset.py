@@ -1,0 +1,84 @@
+"""Dataset finalization: crawl output → deduplicated, filtered training set.
+
+The reference worker only HARVESTS candidate pairs; the dedup/quality pass that
+turned raw harvests into LAION-style training sets ran in downstream tooling
+(README.md:8 — "filtering Common Crawl with OpenAI CLIP"). This plan is that
+downstream stage, composed from the engine's own operators so the whole
+reference workflow lives in one repo:
+
+  pairs_out (all committed waves) → exact image dedup (pHash, first-wins)
+  → near-dup image collapse (banded hamming ≤ k, greedy keep-lowest)
+  → caption near-dup collapse (MinHash-LSH, greedy keep-lowest)
+  → CLIP-proxy score gate → final snapshot + stats row.
+
+Every stage is the scale shape used elsewhere: window dedup and banded
+equi-join candidates only — no all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.imagededup import phash_dedup, phash_near_pairs
+from ..operators.textdedup import minhash_lsh_pairs, minhash_signatures
+from ..state.snapshots import Warehouse
+
+
+def build_training_set(
+    spark: SparkSession,
+    wh: Warehouse,
+    score_threshold: float = 0.0,
+    phash_max_hamming: int = 3,
+    caption_jaccard: float = 0.8,
+    num_perm: int = 64,
+) -> tuple[DataFrame, dict]:
+    """→ (final DataFrame, stats). Reads pairs_out AS OF the latest snapshot."""
+    raw = wh.read_table(spark, wh.latest(), "pairs_out")
+    n_raw = raw.count()
+
+    # 1. exact pHash dedup — identical/re-encoded images collapse (first-wins)
+    exact = phash_dedup(raw, order_col="sample_id")
+
+    # 2. near-dup images: banded hamming pairs → greedy drop the higher sample_id
+    near = phash_near_pairs(
+        exact.select(F.col("sample_id").cast("string").alias("image_key"), "phash"),
+        id_col="image_key",
+        max_hamming=phash_max_hamming,
+    )
+    drop_img = near.select(
+        F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("sample_id")
+    ).distinct()
+    img_clean = exact.join(drop_img, "sample_id", "left_anti")
+
+    # 3. caption near-dups: MinHash-LSH over captions, greedy keep-lowest id
+    sigs = minhash_signatures(
+        img_clean.select(F.col("sample_id").alias("doc_id"), F.col("caption").alias("text")),
+        num_perm=num_perm,
+    )
+    cap_pairs = minhash_lsh_pairs(sigs, threshold=caption_jaccard, num_perm=num_perm)
+    drop_cap = cap_pairs.select(F.col("doc_b").alias("sample_id")).distinct()
+    deduped = img_clean.join(drop_cap, "sample_id", "left_anti")
+
+    # 4. CLIP-proxy gate (the reference project's whole purpose, README.md:8)
+    final = deduped.filter(F.col("score") >= score_threshold).orderBy("sample_id")
+
+    n_final = final.count()
+    stats = {
+        "raw_rows": n_raw,
+        "after_exact_phash": exact.count(),
+        "after_near_phash": img_clean.count(),
+        "after_caption_dedup": deduped.count(),
+        "final_rows": n_final,
+        "kept_ratio": round(n_final / max(n_raw, 1), 4),
+    }
+    return final, stats
+
+
+def write_training_set(
+    spark: SparkSession, wh: Warehouse, path: str, **kwargs
+) -> dict:
+    """Materialize the final set + a stats row; returns the stats."""
+    final, stats = build_training_set(spark, wh, **kwargs)
+    final.write.mode("overwrite").parquet(path)
+    return stats

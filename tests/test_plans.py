@@ -233,3 +233,38 @@ def test_fused_seen_gate_is_one_cogroup(spark):
     plan = _plan(gate)
     assert plan.count("FlatMapCoGroupsInPandas") == 1
     assert gate.count() == 100  # empty state gates nothing
+
+
+def test_dataset_build_end_to_end(spark, fx_dir, tmp_path):
+    """Downstream dataset finalization over a real 2-wave warehouse: image
+    exact+near dedup, caption near-dedup, score gate — invariants checked on
+    the materialized output."""
+    from crawlingathome_worker_spark.plans.dataset import build_training_set
+    from crawlingathome_worker_spark.plans.wave import run_wave
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    cfg = EngineConfig(default_host_budget=20, wave_seconds=30.0)
+    wh = Warehouse(str(tmp_path / "wh"))
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    mid = links.agg(F.max("page_id")).collect()[0][0] // 2
+    run_wave(spark, wh, cfg, pairs, robots, links.filter(F.col("page_id") <= mid),
+             collect_lineage=False)
+    run_wave(spark, wh, cfg, pairs, robots, links.filter(F.col("page_id") > mid),
+             collect_lineage=False)
+
+    final, stats = build_training_set(spark, wh, score_threshold=0.0)
+    rows = final.collect()
+    assert stats["raw_rows"] > stats["final_rows"] > 50  # dedup actually bit
+    assert stats["after_exact_phash"] <= stats["raw_rows"]
+    assert stats["after_near_phash"] <= stats["after_exact_phash"]
+    # invariants on the final set
+    phashes = [r["phash"] for r in rows]
+    assert len(phashes) == len(set(phashes))  # no exact-pHash dup survives
+    assert all(r["score"] >= 0.0 for r in rows)
+    # near-dup images (hamming ≤ 3) are gone too
+    from crawlingathome_worker_spark.phash import hamming64
+    import itertools
+    for a, b in itertools.combinations(sorted(set(phashes))[:300], 2):
+        assert hamming64(a, b) > 3
