@@ -39,10 +39,9 @@ def phash64(img: np.ndarray) -> int:
     low = d[:_HASH, :_HASH]
     med = np.median(low)
     bits = (low > med).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b, wgt in zip(bits, _BITW):
-        if b:
-            val |= wgt
+    # distinct powers of two, so the sum IS the bitwise-or (vectorized pack —
+    # this runs once per image inside the decode hot path)
+    val = (bits * _BITW).sum(dtype=np.uint64)
     return int(val.astype(np.int64))
 
 

@@ -268,3 +268,44 @@ def test_dataset_build_end_to_end(spark, fx_dir, tmp_path):
     import itertools
     for a, b in itertools.combinations(sorted(set(phashes))[:300], 2):
         assert hamming64(a, b) > 3
+
+
+def test_aqe_splits_skewed_fetch_join(spark):
+    """The docs claim AQE absorbs residual hot-KEY skew in the fetch join
+    after salting. Demonstrate it: one key owning 80% of an (incompressible)
+    payload join must come out of AQE as SortMergeJoin(skew=true) with a
+    skewed AQEShuffleRead — the straggler partition is split at runtime."""
+    saved = {}
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "262144",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        pad = F.concat(
+            *[F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i)))) for i in range(4)]
+        )
+        big = (
+            spark.range(0, 300_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 10 < 8, F.lit(0)).otherwise(F.col("id") % 1000),
+            )
+            .withColumn("pad", pad)
+        )
+        dim = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 2)
+        j = big.join(dim, "k").select(F.sum(F.length("pad")).alias("s"))
+        assert j.collect()[0]["s"] > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
