@@ -213,7 +213,9 @@ def hash64_band_chunks(col: str, max_hamming: int) -> list:
     chunks, start = [], 0
     for b in range(nbands):
         width = base + (1 if b < extra else 0)
-        mask = (1 << width) - 1
+        # width 64 (radius 0 → single band): (1<<64)-1 overflows a JVM long;
+        # two's-complement all-ones is -1
+        mask = -1 if width >= 64 else (1 << width) - 1
         chunks.append(F.shiftrightunsigned(col, start).bitwiseAND(F.lit(mask)))
         start += width
     return chunks

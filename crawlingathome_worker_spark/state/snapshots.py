@@ -36,6 +36,10 @@ from pyspark.sql.types import StructType
 APPEND_TABLES = frozenset({"pairs_out", "metrics"})
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this snapshot id first (optimistic concurrency)."""
+
+
 class Warehouse:
     def __init__(self, root: str):
         self.root = root
@@ -114,14 +118,28 @@ class Warehouse:
         return deleted
 
     def commit(self, manifest: dict) -> None:
-        """Atomic: the snapshot exists iff the rename completed."""
+        """Atomic AND optimistic: the snapshot exists iff the link completed,
+        and a concurrent committer of the same snapshot id fails loudly
+        (first-writer-wins via hardlink-if-absent — Iceberg's optimistic
+        concurrency at manifest granularity; os.replace would silently
+        last-write-win and orphan the first writer's data files)."""
         path = self._snap_path(manifest["snapshot_id"])
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, path)  # atomic, fails with EEXIST if already committed
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"snapshot {manifest['snapshot_id']} was committed by another writer"
+            ) from e
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     # -- tables --------------------------------------------------------------
     def write_table(self, df: DataFrame, name: str, snap_id: int) -> str:

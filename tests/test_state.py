@@ -163,3 +163,60 @@ def test_time_travel_and_snapshot_gc(spark, fx_dir, tmp_path):
     # and a further wave on the gc'd warehouse still runs + commits
     m3 = run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False)
     assert m3["snapshot_id"] == 3
+
+
+def test_concurrent_commit_first_writer_wins(tmp_path):
+    """Two writers race on the same snapshot id: the second commit must fail
+    loudly (ConcurrentCommitError), never silently overwrite the first —
+    Iceberg-style optimistic concurrency at manifest granularity."""
+    import json
+    import pytest
+
+    from crawlingathome_worker_spark.state.snapshots import (
+        ConcurrentCommitError,
+        Warehouse,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    m1 = wh.new_manifest(None)
+    m1["counters"] = {"writer": 1}
+    m2 = wh.new_manifest(None)
+    m2["counters"] = {"writer": 2}
+    wh.commit(m1)
+    with pytest.raises(ConcurrentCommitError):
+        wh.commit(m2)
+    assert wh.latest()["counters"] == {"writer": 1}  # first writer's manifest intact
+    # and no stale tmp pollutes the snapshot dir
+    import os as _os
+
+    snaps = _os.listdir(tmp_path / "wh" / "snapshots")
+    assert all(not f.endswith(".tmp") for f in snaps)
+
+
+def test_band_chunks_tile_all_64_bits(spark):
+    """hash64_band_chunks must cover the 64-bit space disjointly for every
+    radius (Column construction needs the active session's JVM)."""
+    from crawlingathome_worker_spark.operators.textdedup import hash64_band_chunks
+
+    # pure-structure check: widths sum to 64, no gaps/overlap, per radius
+    import re
+
+    for r in (0, 1, 3, 6, 8, 15, 31, 63):
+        chunks = hash64_band_chunks("h", r)
+        assert len(chunks) == r + 1
+        # reconstruct width layout from the Column expressions' string form
+        widths = []
+        for c in chunks:
+            s = str(c._jc)
+            m = re.search(r"shiftrightunsigned\(h, (\d+)\)", s)
+            start = int(m.group(1)) if m else 0
+            mask = int(re.search(r",\s*(-?\d+)L?\)$", s).group(1))
+            widths.append((start, mask))
+        widths.sort()
+        pos = 0
+        for start, mask in widths:
+            assert start == pos
+            w = 64 if mask == -1 else mask.bit_length()
+            assert mask == -1 or mask == (1 << w) - 1
+            pos += w
+        assert pos == 64
