@@ -124,10 +124,40 @@ def run_headline() -> dict:
     # (a production frontier loop runs thousands of waves per session).
     cfg = EngineConfig(default_host_budget=100_000, wave_seconds=0.0)
     _wave_bench(spark, fx_dir, cfg)
-    wave_sec, counts = _wave_bench(spark, fx_dir, cfg)
-    wave_sec2, _ = _wave_bench(spark, fx_dir, cfg)
-    wave_sec = min(wave_sec, wave_sec2)  # host-noise guard (see BENCH/BASELINE.md)
+    runs = []
+    for _ in range(3):  # min-of-3: this host shows 3x noise bursts (BENCH/BASELINE.md)
+        sec, counts = _wave_bench(spark, fx_dir, cfg)
+        runs.append(sec)
+    wave_sec = min(runs)
     per_q["wave_frontier"] = round(wave_sec, 3)
+
+    # committed wave: full warehouse round-trip in BLOOM mode (snapshot commit,
+    # delta-maintained bloom, cuckoo update) — tracks the state-maintenance
+    # cost the delta design optimizes; min of 2 waves after a warmup wave.
+    import shutil
+    import tempfile
+
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    wh_dir = tempfile.mkdtemp(prefix="bench_wh_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    try:
+        wh = Warehouse(wh_dir)
+        bloom_cfg = EngineConfig(
+            default_host_budget=100_000, wave_seconds=0.0, dedup_mode="bloom"
+        )
+        links_w = spark.read.parquet(os.path.join(fx_dir, "wat_links.parquet")).repartition(int(cpus))
+        robots_w = spark.read.parquet(os.path.join(fx_dir, "robots.parquet"))
+        pairs_w = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
+        from crawlingathome_worker_spark.plans.wave import run_wave
+
+        committed = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_wave(spark, wh, bloom_cfg, pairs_w, robots_w, links_w, collect_lineage=False)
+            committed.append(time.perf_counter() - t0)
+        per_q["wave_committed_bloom"] = round(min(committed[1:]), 3)
+    finally:
+        shutil.rmtree(wh_dir, ignore_errors=True)
 
     # image decode throughput (Arrow batch decode over the pairs fixture)
     from crawlingathome_worker_spark.operators.fetch import with_decoded

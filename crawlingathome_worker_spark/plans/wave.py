@@ -133,7 +133,10 @@ def run_wave(
     unseen = unseen.observe(obs_unseen, F.count(F.lit(1)).alias("n"))
 
     # 4. robots gate (broadcast join, J6) + politeness top-k per host (O1)
-    gated = robots_gate(unseen, robots, cfg)
+    # persist the gated frame: the scheduled pipeline AND the deferred/frontier
+    # write both consume it — without the persist the seen-gate cogroup (the
+    # wave's biggest state stage) executes once per action
+    gated = robots_gate(unseen, robots, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     scheduled, deferred = politeness_split(gated, wave_no, cfg)
 
     # 5. contiguous sample ids in priority order (W1) — scale-safe assignment
@@ -245,6 +248,7 @@ def run_wave(
     manifest["next_sample_id"] = start_id + n_scheduled
     wh.commit(manifest)
     cands.unpersist()
+    gated.unpersist()
     classified.unpersist()
     unpersist_sample_ids(scheduled)
     return manifest
