@@ -27,8 +27,10 @@ from ..operators.fetch import classify_and_score, output_rows, simulated_fetch
 from ..operators.parse import parse_links
 from ..operators.politeness import politeness_split, robots_gate
 from ..operators.schedule import assign_sample_ids, unpersist_sample_ids
-from ..state.bloom import bloom_add, empty_bloom, seen_gate_bloom
-from ..state.cuckoo import cuckoo_update, empty_cuckoo
+from ..state.bloom import STATE_SCHEMA as BLOOM_STATE_SCHEMA
+from ..state.bloom import bloom_add, seen_gate_bloom
+from ..state.cuckoo import STATE_SCHEMA as CUCKOO_STATE_SCHEMA
+from ..state.cuckoo import cuckoo_update
 from ..state.snapshots import Warehouse
 
 FRONTIER_SCHEMA = (
@@ -110,8 +112,15 @@ def run_wave(
     # with the cuckoo retry slots overriding only the parsed stage. Exact mode is
     # the same logic as anti-joins against key tables (the oracle path).
     if cfg.dedup_mode == "bloom":
-        bloom_c = wh.read_table(spark, parent, "bloom_clipped") or empty_bloom(spark, cfg.bloom)
-        bloom_p_base = wh.read_table(spark, parent, "bloom_parsed") or empty_bloom(spark, cfg.bloom)
+        # Absent state tables become EMPTY frames, not driver-materialized
+        # zero-bit blooms: every state consumer (fused gate, bloom_add fold,
+        # cuckoo ops) treats a missing partition as all-zeros executor-side,
+        # and at the 24-GB design point building empty bits on the driver
+        # would be an OOM before the first wave ran. State stays sparse:
+        # partitions materialize on first write.
+        no_state = spark.createDataFrame([], BLOOM_STATE_SCHEMA)
+        bloom_c = wh.read_table(spark, parent, "bloom_clipped") or no_state
+        bloom_p_base = wh.read_table(spark, parent, "bloom_parsed") or no_state
         # delta-maintained bloom: base bits ∪ per-wave key deltas, OR-merged at
         # read (lazy — one extra cogroup in the same job), compacted below
         parsed_deltas = (parent or {}).get("tables", {}).get("bloom_parsed_delta", [])
@@ -120,7 +129,9 @@ def run_wave(
             bloom_p = bloom_add(bloom_p_base, delta_keys, cfg.bloom, key="pair_md5")
         else:
             bloom_p = bloom_p_base
-        cuckoo = wh.read_table(spark, parent, "cuckoo_state") or empty_cuckoo(spark, cfg.cuckoo)
+        cuckoo = wh.read_table(spark, parent, "cuckoo_state") or spark.createDataFrame(
+            [], CUCKOO_STATE_SCHEMA
+        )
         # FUSED gate: clipped ∧ parsed ∧ retry membership in ONE cogroup
         # shuffle of the wave (the states are co-partitioned by the same key);
         # replaces two bloom shuffles + a cuckoo shuffle + union + dedup.
