@@ -117,6 +117,33 @@ class Warehouse:
             os.unlink(self._snap_path(m["snapshot_id"]))
         return deleted
 
+    def compact_appends(
+        self, spark: SparkSession, name: str, target_partitions: int | None = None
+    ) -> dict | None:
+        """Rewrite an append table's many per-wave directories into one
+        (Iceberg `rewrite_data_files` analog) and commit a maintenance
+        snapshot pointing at the compacted dir. Thousands of waves otherwise
+        leave thousands of small dirs — a small-files problem at scan time.
+        Returns the new manifest (None if there is nothing to compact).
+        Old dirs stay on disk until gc() expires the pre-compaction snapshots."""
+        parent = self.latest()
+        if parent is None or len(parent["tables"].get(name, [])) <= 1:
+            return None
+        df = self.read_table(spark, parent, name)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        manifest = self.new_manifest(parent)
+        manifest["maintenance"] = f"compact:{name}"
+        # a maintenance snapshot changes ONE table and carries every other
+        # pointer forward verbatim (new_manifest only carries append tables)
+        manifest["tables"] = {k: list(v) for k, v in parent["tables"].items()}
+        manifest["tables"][name] = [
+            self.write_table(df, name, manifest["snapshot_id"])
+        ]
+        manifest["counters"] = dict(parent.get("counters", {}))
+        self.commit(manifest)
+        return manifest
+
     def commit(self, manifest: dict) -> None:
         """Atomic AND optimistic: the snapshot exists iff the link completed,
         and a concurrent committer of the same snapshot id fails loudly

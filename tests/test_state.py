@@ -220,3 +220,49 @@ def test_band_chunks_tile_all_64_bits(spark):
             assert mask == -1 or mask == (1 << w) - 1
             pos += w
         assert pos == 64
+
+
+def test_compact_appends_preserves_data_and_state(spark, fx_dir, tmp_path):
+    """rewrite_data_files analog: compacting pairs_out must (1) keep every row,
+    (2) shrink the dir list to 1, (3) carry ALL other table pointers forward so
+    resume/reads see identical state, (4) leave the warehouse runnable, and
+    (5) let gc() reclaim the pre-compaction dirs."""
+    from crawlingathome_worker_spark.config import EngineConfig
+    from crawlingathome_worker_spark.plans.wave import run_wave
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    cfg = EngineConfig(default_host_budget=10)
+    wh = Warehouse(str(tmp_path / "wh"))
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet").filter("page_id < 80")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    for _ in range(3):
+        run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False)
+
+    before = wh.latest()
+    rows_before = sorted(
+        (r["sample_id"], r["url"])
+        for r in wh.read_table(spark, before, "pairs_out").collect()
+    )
+    assert len(before["tables"]["pairs_out"]) == 3
+
+    m = wh.compact_appends(spark, "pairs_out", target_partitions=4)
+    assert m is not None and len(m["tables"]["pairs_out"]) == 1
+    for t, paths in before["tables"].items():
+        if t != "pairs_out":
+            assert m["tables"][t] == paths  # every other pointer carried
+    rows_after = sorted(
+        (r["sample_id"], r["url"])
+        for r in wh.read_table(spark, wh.latest(), "pairs_out").collect()
+    )
+    assert rows_after == rows_before
+
+    # warehouse still runs and appends onto the compacted list
+    m4 = run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False)
+    assert len(m4["tables"]["pairs_out"]) == 2
+
+    # expire pre-compaction snapshots: old pairs_out dirs reclaimed, data intact
+    deleted = wh.gc(keep_last=2)
+    assert any("pairs_out" in d for d in deleted)
+    n = wh.read_table(spark, wh.latest(), "pairs_out").count()
+    assert n > len(rows_before)  # compacted rows + wave-4 appends all readable
