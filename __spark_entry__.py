@@ -346,7 +346,7 @@ def q26_embedding_neardup(spark, sf_dir):
     from crawlingathome_worker_spark.operators.similarity import knn_self_join
 
     e = _t(spark, sf_dir, "embeddings")
-    out = knn_self_join(e, threshold=0.4, n_tables=4, bits_per_table=6)
+    out = knn_self_join(e, threshold=0.4, n_tables=4, bits_per_table=6, dim=64)
     return out.select("id_a", "id_b", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))
 
 

@@ -74,6 +74,12 @@ def politeness_split(
     `host_budget` per bucket; phase 2 ranks the survivors per host. Identical
     result to a single per-host window (top-k is decomposable), but the hot-host
     partition is never materialized in one task.
+
+    Contract: `host_budget` must be constant per host (robots_gate guarantees
+    this — it is a property of the host). Per-row budgets would break
+    decomposability: a phase-1-dropped row no longer consumes a phase-2 rank,
+    while in a single window it would (pinned by
+    tests/test_adaptive_salt.py::test_two_phase_topk_equals_naive_single_window).
     """
     df = with_priority(candidates, wave_no, cfg)
     if cfg.adaptive_salt:

@@ -307,6 +307,7 @@ def knn_self_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded multi-table LSH candidates,
     exact cosine only within (table, signature) buckets. → (id_a, id_b, cosine
@@ -316,9 +317,10 @@ def knn_self_join(
     never an all-pairs stage. Per-bucket population is data_size / 2^bits_per_table
     per table in expectation; `max_bucket_rows` hard-caps the quadratic blowup of
     pathological buckets (near-constant embedding regions) by dropping buckets
-    denser than the cap, mirroring ngram_jaccard_pairs' max_df prune."""
-    first = df.select(vec_col).first()
-    dim = len(first[vec_col])
+    denser than the cap, mirroring ngram_jaccard_pairs' max_df prune.
+    Pass `dim` (the embedding width) to avoid a probe job on `df`."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[vec_col])
     sigged = banded_lsh_signatures(df, dim, n_tables, bits_per_table, seed, vec_col)
     banded = sigged.select(
         id_col, vec_col, F.posexplode("sigs").alias("band", "sig")
