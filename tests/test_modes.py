@@ -232,3 +232,24 @@ def test_streaming_restart_does_not_reprocess(spark, fx_dir, tmp_path_factory):
     shutil.copy(f"{fx_dir}/wat_lines.txt", watch / "shard-001.wat")  # NEW file
     stream_waves(spark, wh, cfg, str(watch), ckpt, pairs, robots)
     assert wh.latest()["wave_no"] == wave_after_first + 1  # exactly one more wave
+
+
+def test_drain_wave_on_empty_warehouse(spark, inputs, fx_dir, tmp_path_factory):
+    """Degenerate wave: no new input AND empty frontier — must commit a clean
+    all-zero snapshot in both modes (the empty-observation fallback path) and
+    stay runnable afterwards."""
+    _, pairs, robots, _, _ = inputs
+    for mode in ("exact", "bloom"):
+        cfg = EngineConfig(default_host_budget=10, dedup_mode=mode)
+        wh = Warehouse(str(tmp_path_factory.mktemp(f"wh_empty_{mode}")))
+        m = run_wave(spark, wh, cfg, pairs, robots, None, collect_lineage=False)
+        assert m["counters"]["candidates"] == 0
+        assert m["counters"]["scheduled"] == 0
+        assert m["next_sample_id"] == 0
+        assert wh.read_table(spark, wh.latest(), "pairs_out").count() == 0
+        # a real wave still works on top of the empty snapshot
+        links = spark.read.parquet(f"{fx_dir}/wat_links.parquet").filter(
+            F.col("page_id") < 40
+        )
+        m2 = run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False)
+        assert m2["counters"]["scheduled"] > 0
