@@ -309,3 +309,29 @@ def test_aqe_splits_skewed_fetch_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_wave_job_budget(spark, fx_dir, tmp_path):
+    """Fixed-cost regression guard: a committed wave runs ≤ 45 Spark jobs
+    (AQE makes each shuffle-stage materialization a job, so this effectively
+    caps stage count). A stray .count()/action in the wave shows up here —
+    measured 39 (exact) / 37 (bloom) when pinned."""
+    import tempfile
+
+    from crawlingathome_worker_spark.plans.wave import run_wave
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet").filter("page_id < 100")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    sc = spark.sparkContext
+    for mode in ("exact", "bloom"):
+        cfg = EngineConfig(default_host_budget=10, dedup_mode=mode)
+        wh = Warehouse(str(tmp_path / f"wh_{mode}"))
+        sc.setJobGroup(f"wavejobs-{mode}", "budget")
+        try:
+            run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False)
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(f"wavejobs-{mode}"))
+        assert n_jobs <= 45, f"{mode} wave ran {n_jobs} jobs"
