@@ -71,7 +71,9 @@ def _wave_bench(spark, fx_dir, cfg):
         F.sum((F.col("fetch_status") == "ok").cast("long")).alias("ok"),
     ).collect()[0]
     sec = time.perf_counter() - t0
-    scheduled.unpersist()
+    from crawlingathome_worker_spark.operators.schedule import unpersist_sample_ids
+
+    unpersist_sample_ids(scheduled)  # release the assign_sample_ids cache
     return sec, {"scheduled": int(agg["scheduled"]), "ok": int(agg["ok"])}
 
 

@@ -322,9 +322,13 @@ def knn_self_join(
     if dim is None:
         dim = len(df.select(vec_col).first()[vec_col])
     sigged = banded_lsh_signatures(df, dim, n_tables, bits_per_table, seed, vec_col)
+    # persist the banded frame: the signature UDF (full-table matmul per band)
+    # otherwise re-executes for each self-join side and for the density
+    # aggregate when the cap is on. Released via _banded_cache on the result
+    # (unpersist_knn_cache) or when the caller's session drops the frame.
     banded = sigged.select(
         id_col, vec_col, F.posexplode("sigs").alias("band", "sig")
-    )
+    ).persist()
     if max_bucket_rows is not None:
         dense = (
             banded.groupBy("band", "sig")
@@ -362,8 +366,18 @@ def knn_self_join(
         nb[nb == 0] = 1.0
         return pd.Series(np.einsum("ij,ij->i", a, b) / (na * nb))
 
-    return (
+    out = (
         cand.withColumn("cosine", pair_cos("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    out._banded_cache = banded
+    return out
+
+
+def unpersist_knn_cache(df: DataFrame) -> None:
+    """Release the banded-signature cache pinned by knn_self_join (no-op on
+    other frames)."""
+    cached = getattr(df, "_banded_cache", None)
+    if cached is not None:
+        cached.unpersist()

@@ -33,12 +33,20 @@ def build_training_set(
     caption_jaccard: float = 0.8,
     num_perm: int = 64,
 ) -> tuple[DataFrame, dict]:
-    """→ (final DataFrame, stats). Reads pairs_out AS OF the latest snapshot."""
-    raw = wh.read_table(spark, wh.latest(), "pairs_out")
+    """→ (final DataFrame, stats). Reads pairs_out AS OF the latest snapshot.
+
+    The returned frame is PERSISTED (the stats counts already materialized it);
+    the caller unpersists when done. Intermediate stages are persisted during
+    the stats pass and released before returning — without that, each count()
+    would recompute the MinHash/banding pipelines from scratch."""
+    latest = wh.latest()
+    if latest is None or not latest["tables"].get("pairs_out"):
+        raise ValueError("warehouse has no committed pairs_out — run waves first")
+    raw = wh.read_table(spark, latest, "pairs_out").persist()
     n_raw = raw.count()
 
     # 1. exact pHash dedup — identical/re-encoded images collapse (first-wins)
-    exact = phash_dedup(raw, order_col="sample_id")
+    exact = phash_dedup(raw, order_col="sample_id").persist()
 
     # 2. near-dup images: banded hamming pairs → greedy drop the higher sample_id
     near = phash_near_pairs(
@@ -49,7 +57,7 @@ def build_training_set(
     drop_img = near.select(
         F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("sample_id")
     ).distinct()
-    img_clean = exact.join(drop_img, "sample_id", "left_anti")
+    img_clean = exact.join(drop_img, "sample_id", "left_anti").persist()
 
     # 3. caption near-dups: MinHash-LSH over captions, greedy keep-lowest id
     sigs = minhash_signatures(
@@ -61,9 +69,11 @@ def build_training_set(
     deduped = img_clean.join(drop_cap, "sample_id", "left_anti")
 
     # 4. CLIP-proxy gate (the reference project's whole purpose, README.md:8)
-    final = deduped.filter(F.col("score") >= score_threshold).orderBy("sample_id")
+    final = (
+        deduped.filter(F.col("score") >= score_threshold).orderBy("sample_id").persist()
+    )
 
-    n_final = final.count()
+    n_final = final.count()  # materializes `final` (each upstream count is a cache hit)
     stats = {
         "raw_rows": n_raw,
         "after_exact_phash": exact.count(),
@@ -72,6 +82,8 @@ def build_training_set(
         "final_rows": n_final,
         "kept_ratio": round(n_final / max(n_raw, 1), 4),
     }
+    for frame in (raw, exact, img_clean):
+        frame.unpersist()
     return final, stats
 
 
@@ -80,5 +92,6 @@ def write_training_set(
 ) -> dict:
     """Materialize the final set + a stats row; returns the stats."""
     final, stats = build_training_set(spark, wh, **kwargs)
-    final.write.mode("overwrite").parquet(path)
+    final.write.mode("overwrite").parquet(path)  # cache hit — counted above
+    final.unpersist()
     return stats

@@ -39,7 +39,12 @@ def run_job(
     across restarts (crawlingathome.py:216-217 — the tracker hands out jobs in
     a fixed order)."""
     manifests = []
-    done = {m.get("shard_key") for m in wh.committed()} - {None}
+    # latest manifest carries the CUMULATIVE shard history (survives gc-expiry
+    # of the manifests that first recorded them); per-manifest shard_keys are
+    # unioned in for warehouses written before the cumulative field existed
+    latest = wh.latest()
+    done = set((latest or {}).get("completed_shards", []))
+    done |= {m.get("shard_key") for m in wh.committed()} - {None}
     for i, shard in enumerate(shards, start=1):
         key = f"shard-{i:06d}"
         if key in done:  # already committed by a previous run — resume semantics

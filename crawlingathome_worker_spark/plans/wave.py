@@ -79,6 +79,8 @@ def run_wave(
     parent = wh.latest()
     manifest = wh.new_manifest(parent)
     manifest["shard_key"] = shard_key
+    if shard_key is not None:
+        manifest.setdefault("completed_shards", []).append(shard_key)
     wave_no = manifest["wave_no"] = (parent["wave_no"] + 1) if parent else 1
     snap_id = manifest["snapshot_id"]
     start_id = manifest["next_sample_id"]

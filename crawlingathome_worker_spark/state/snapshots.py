@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -50,16 +51,27 @@ class Warehouse:
     def _snap_path(self, snap_id: int) -> str:
         return os.path.join(self.root, "snapshots", f"{snap_id:06d}.json")
 
+    # tmp files older than this are crash leftovers; younger ones may belong to
+    # a LIVE writer mid-commit and must never be swept (a sweep would turn that
+    # writer's hardlink into FileNotFoundError)
+    TMP_GC_AGE_SECONDS = 3600.0
+
     def latest(self) -> dict | None:
         """Latest COMMITTED manifest. Only `*.json` counts: a crash between
-        writing `NNNNNN.json.tmp` and os.replace leaves a stale .tmp that must
-        never be resumed from (it sorts after the last committed .json); stale
-        tmps are garbage-collected here."""
+        writing a commit tmp and linking it leaves a stale tmp that must never
+        be resumed from (it sorts after the last committed .json); tmps older
+        than TMP_GC_AGE_SECONDS are garbage-collected (age-gated so a live
+        concurrent writer's in-flight tmp is left alone)."""
+        import time
+
         snap_dir = os.path.join(self.root, "snapshots")
         entries = sorted(os.listdir(snap_dir))
+        now = time.time()
         for stale in (e for e in entries if e.endswith(".tmp")):
+            p = os.path.join(snap_dir, stale)
             try:
-                os.unlink(os.path.join(snap_dir, stale))
+                if now - os.path.getmtime(p) > self.TMP_GC_AGE_SECONDS:
+                    os.unlink(p)
             except OSError:
                 pass
         snaps = [e for e in entries if e.endswith(".json")]
@@ -88,7 +100,7 @@ class Warehouse:
                     out.append(json.load(f))
         return out
 
-    def gc(self, keep_last: int = 2) -> list[str]:
+    def gc(self, keep_last: int = 2, grace_seconds: float = 3600.0) -> list[str]:
         """Expire old snapshots (Iceberg `expireSnapshots` analog): keep the
         newest `keep_last` manifests, delete every table directory no kept
         manifest references, then drop the expired manifests. Append tables
@@ -96,7 +108,13 @@ class Warehouse:
         carries their full directory history. Returns the deleted rel paths.
 
         Safe vs concurrent readers of the KEPT snapshots only — like Iceberg,
-        expiring a snapshot invalidates time travel to it."""
+        expiring a snapshot invalidates time travel to it. Directories younger
+        than `grace_seconds` are never deleted: an IN-FLIGHT wave's freshly
+        written (not yet committed) table dirs are unreferenced by any manifest
+        and would otherwise be reaped from under the writer (Iceberg's
+        orphan-file removal uses the same age-gate convention)."""
+        import time
+
         manifests = self.committed()
         if len(manifests) <= keep_last:
             return []
@@ -105,14 +123,23 @@ class Warehouse:
             rel for m in kept for paths in m["tables"].values() for rel in paths
         }
         deleted = []
+        now = time.time()
         tables_root = os.path.join(self.root, "tables")
         for table in sorted(os.listdir(tables_root)):
             tdir = os.path.join(tables_root, table)
             for snap in sorted(os.listdir(tdir)):
                 rel = os.path.join("tables", table, snap)
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(self.root, rel))
-                    deleted.append(rel)
+                full = os.path.join(self.root, rel)
+                if rel in referenced:
+                    continue
+                try:
+                    young = now - os.path.getmtime(full) < grace_seconds
+                except OSError:
+                    continue
+                if young:
+                    continue
+                shutil.rmtree(full)
+                deleted.append(rel)
         for m in manifests[:-keep_last]:
             os.unlink(self._snap_path(m["snapshot_id"]))
         return deleted
@@ -151,7 +178,10 @@ class Warehouse:
         concurrency at manifest granularity; os.replace would silently
         last-write-win and orphan the first writer's data files)."""
         path = self._snap_path(manifest["snapshot_id"])
-        tmp = path + ".tmp"
+        # WRITER-UNIQUE tmp name: a shared `path + .tmp` would let a concurrent
+        # committer truncate this writer's bytes between fsync and link (torn /
+        # swapped manifest committed under this writer's success)
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
             f.flush()
@@ -212,6 +242,9 @@ class Warehouse:
             "next_sample_id": parent["next_sample_id"],
             # append tables carry history forward; overwrite tables get replaced
             "tables": {k: list(v) for k, v in parent["tables"].items() if k in APPEND_TABLES},
+            # cumulative shard history rides EVERY manifest so resume stays
+            # correct after gc() expires the manifests that first recorded them
+            "completed_shards": list(parent.get("completed_shards", [])),
             "counters": {},
             "lineage": {},
         }

@@ -150,7 +150,7 @@ def test_time_travel_and_snapshot_gc(spark, fx_dir, tmp_path):
     assert out2 > out0 > 0  # append history grows per snapshot
     assert n0 >= 0 and n2 >= 0
 
-    deleted = wh.gc(keep_last=1)
+    deleted = wh.gc(keep_last=1, grace_seconds=0.0)
     assert deleted  # something actually expired
     assert wh.manifest(0) is None and wh.latest()["snapshot_id"] == 2
     # everything the kept manifest references is still readable — including
@@ -262,7 +262,28 @@ def test_compact_appends_preserves_data_and_state(spark, fx_dir, tmp_path):
     assert len(m4["tables"]["pairs_out"]) == 2
 
     # expire pre-compaction snapshots: old pairs_out dirs reclaimed, data intact
-    deleted = wh.gc(keep_last=2)
+    deleted = wh.gc(keep_last=2, grace_seconds=0.0)
     assert any("pairs_out" in d for d in deleted)
     n = wh.read_table(spark, wh.latest(), "pairs_out").count()
     assert n > len(rows_before)  # compacted rows + wave-4 appends all readable
+
+
+def test_resume_survives_snapshot_gc(spark, fx_dir, tmp_path):
+    """gc() expiring old manifests must NOT re-enable their shards: the latest
+    manifest carries the cumulative completed_shards history, so run_job skips
+    all previously committed shards even after their manifests are gone."""
+    from crawlingathome_worker_spark.plans.job import run_job
+
+    cfg = EngineConfig(default_host_budget=10)
+    wh = Warehouse(str(tmp_path / "wh"))
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    shards = [links.filter(F.col("page_id") % 3 == i) for i in range(3)]
+    ms = run_job(spark, wh, cfg, shards, pairs, robots)
+    assert len(ms) == 3
+    wh.gc(keep_last=1, grace_seconds=0.0)  # expire the first two manifests
+    assert wh.manifest(0) is None
+    again = run_job(spark, wh, cfg, shards, pairs, robots)
+    assert again == []  # nothing reprocessed
+    assert wh.latest()["wave_no"] == 3
