@@ -132,7 +132,7 @@ def run_headline() -> dict:
     cfg = EngineConfig(default_host_budget=100_000, wave_seconds=0.0)
     _wave_bench(spark, fx_dir, cfg)
     runs = []
-    for _ in range(3):  # min-of-3: this host shows 3x noise bursts (BENCH/BASELINE.md)
+    for _ in range(4):  # min-of-4: this host shows 3x noise bursts (BENCH/BASELINE.md)
         sec, counts = _wave_bench(spark, fx_dir, cfg)
         runs.append(sec)
     wave_sec = min(runs)
