@@ -125,6 +125,8 @@ def run_headline() -> dict:
             times.append(time.perf_counter() - t0)
         first_run[name] = round(times[0], 3)
         per_q[name] = round(min(times), 3)
+    # the LAST query's internal persist must not shadow the wave/decode benches
+    spark.catalog.clearCache()
 
     # frontier wave on the bench-scale fixture: the BASELINE.json target metric.
     # First run warms the Python-worker pipeline stages; steady-state is reported

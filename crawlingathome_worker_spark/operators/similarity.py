@@ -329,6 +329,7 @@ def knn_self_join(
     banded = sigged.select(
         id_col, vec_col, F.posexplode("sigs").alias("band", "sig")
     ).persist()
+    banded_cache = banded  # the PERSISTED frame (banded is rebound below)
     if max_bucket_rows is not None:
         dense = (
             banded.groupBy("band", "sig")
@@ -371,7 +372,7 @@ def knn_self_join(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
-    out._banded_cache = banded
+    out._banded_cache = banded_cache
     return out
 
 

@@ -66,7 +66,7 @@ def build_training_set(
     )
     cap_pairs = minhash_lsh_pairs(sigs, threshold=caption_jaccard, num_perm=num_perm)
     drop_cap = cap_pairs.select(F.col("doc_b").alias("sample_id")).distinct()
-    deduped = img_clean.join(drop_cap, "sample_id", "left_anti")
+    deduped = img_clean.join(drop_cap, "sample_id", "left_anti").persist()
 
     # 4. CLIP-proxy gate (the reference project's whole purpose, README.md:8)
     final = (
@@ -82,7 +82,7 @@ def build_training_set(
         "final_rows": n_final,
         "kept_ratio": round(n_final / max(n_raw, 1), 4),
     }
-    for frame in (raw, exact, img_clean):
+    for frame in (raw, exact, img_clean, deduped):
         frame.unpersist()
     return final, stats
 

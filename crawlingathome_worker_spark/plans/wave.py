@@ -259,9 +259,11 @@ def run_wave(
     tables.setdefault("metrics", []).append(wh.write_table(metrics, "metrics", snap_id))
 
     manifest["next_sample_id"] = start_id + n_scheduled
-    wh.commit(manifest)
-    cands.unpersist()
-    gated.unpersist()
-    classified.unpersist()
-    unpersist_sample_ids(scheduled)
+    try:
+        wh.commit(manifest)  # may raise ConcurrentCommitError (loser of a race)
+    finally:
+        cands.unpersist()
+        gated.unpersist()
+        classified.unpersist()
+        unpersist_sample_ids(scheduled)
     return manifest

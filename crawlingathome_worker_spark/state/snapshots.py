@@ -116,9 +116,10 @@ class Warehouse:
         import time
 
         manifests = self.committed()
-        if len(manifests) <= keep_last:
-            return []
-        kept = manifests[-keep_last:]
+        # the orphan-dir sweep always runs (a PREVIOUS gc may have expired
+        # manifests while the grace gate skipped their then-young dirs; only a
+        # later sweep can reclaim those orphans even with no new commits)
+        kept = manifests[-keep_last:] if len(manifests) > keep_last else manifests
         referenced = {
             rel for m in kept for paths in m["tables"].values() for rel in paths
         }
@@ -140,8 +141,9 @@ class Warehouse:
                     continue
                 shutil.rmtree(full)
                 deleted.append(rel)
-        for m in manifests[:-keep_last]:
-            os.unlink(self._snap_path(m["snapshot_id"]))
+        if len(manifests) > keep_last:
+            for m in manifests[:-keep_last]:
+                os.unlink(self._snap_path(m["snapshot_id"]))
         return deleted
 
     def compact_appends(
