@@ -62,3 +62,15 @@ def run_job(
     return manifests
 
 
+
+
+def read_metrics(spark: SparkSession, wh: Warehouse) -> DataFrame:
+    """Tidy counters across ALL committed waves: (wave_no, counter,
+    partition_id, value). partition_id = -1 rows are wave totals; ≥ 0 rows are
+    the per-partition lineage (north_rule A1). The metrics table is
+    append-only, so this is one multi-dir parquet scan."""
+    df = wh.read_table(
+        spark, wh.latest(), "metrics",
+        "wave_no int, counter string, partition_id int, value long",
+    )
+    return df.orderBy("wave_no", "counter", "partition_id")

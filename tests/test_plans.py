@@ -335,3 +335,25 @@ def test_wave_job_budget(spark, fx_dir, tmp_path):
             sc.setJobGroup(None, None)
         n_jobs = len(sc.statusTracker().getJobIdsForGroup(f"wavejobs-{mode}"))
         assert n_jobs <= 45, f"{mode} wave ran {n_jobs} jobs"
+
+
+def test_read_metrics_tidy(spark, fx_dir, tmp_path):
+    from crawlingathome_worker_spark.plans.job import read_metrics, run_job
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    cfg = EngineConfig(default_host_budget=10)
+    wh = Warehouse(str(tmp_path / "wh"))
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet").filter("page_id < 60")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    run_job(spark, wh, cfg, [links, links], pairs, robots)
+    m = read_metrics(spark, wh)
+    rows = m.collect()
+    waves = {r["wave_no"] for r in rows}
+    assert waves == {1, 2}
+    counters = {r["counter"] for r in rows if r["partition_id"] == -1}
+    assert {"candidates", "scheduled", "deferred", "fetched_ok"} <= counters
+    # totals match the committed manifests
+    want = wh.latest()["counters"]["scheduled"]
+    got = [r["value"] for r in rows if r["wave_no"] == 2 and r["counter"] == "scheduled" and r["partition_id"] == -1]
+    assert got == [want]
