@@ -67,15 +67,12 @@ def test_query_matches_duckdb(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    q = entrymod.queries()[name]
-    df = q(spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
-    # determinism: same plan twice → same count
-    assert q(spark, SF_DIR).count() == n
+def test_every_query_has_an_oracle():
+    """Round-2 contract: NO rows-only queries remain — every queries() entry
+    must have an oracle_sql() entry (ANSI SQL or golden parquet), so the
+    driver's hard value check covers 100% of the query surface."""
+    assert ROWS_ONLY == [], f"queries without oracles: {ROWS_ONLY}"
+    assert set(ORACLED) == set(entrymod.queries().keys())
 
 
 def test_entry_smoke(spark):
