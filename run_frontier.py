@@ -29,6 +29,18 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=64, help="per-host budget per wave")
     ap.add_argument("--dedup-mode", choices=["exact", "bloom"], default="exact")
     ap.add_argument("--reference-strict", action="store_true")
+    ap.add_argument(
+        "--gc", type=int, default=0, metavar="KEEP",
+        help="after the run, expire snapshots keeping the newest KEEP",
+    )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="after the run, compact pairs_out append dirs into one",
+    )
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print per-wave counter totals from the metrics table",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -65,6 +77,19 @@ def main() -> None:
         print(json.dumps({"resumed": True, "shards_skipped": n_skipped}))
     for m in manifests:
         print(json.dumps({"wave": m["wave_no"], **m["counters"]}))
+    if args.compact:
+        m = wh.compact_appends(spark, "pairs_out")
+        if m is not None:
+            print(json.dumps({"compacted": "pairs_out", "snapshot": m["snapshot_id"]}))
+    if args.gc > 0:
+        deleted = wh.gc(keep_last=args.gc)
+        print(json.dumps({"gc_kept": args.gc, "dirs_deleted": len(deleted)}))
+    if args.stats:
+        from crawlingathome_worker_spark.plans.job import read_metrics
+
+        totals = read_metrics(spark, wh).filter("partition_id = -1").collect()
+        for r in totals:
+            print(json.dumps({"wave": r["wave_no"], r["counter"]: r["value"]}))
     spark.stop()
 
 
