@@ -1,11 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 `queries()` exposes every SURVEY.md §2 operator family as a (spark, sf_dir) →
-DataFrame callable; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL for each
-SQL-expressible one (the driver compares row-count + schema + order-insensitive
-value-hash at sf=0.01). UDF-backed ops (image decode, pHash, CLIP proxy, langid,
-MinHash/SimHash, LSH ANN, the full wave) have no SQL equivalent and run as
-rows-only checks; their exact semantics are pinned by tests/oracle.py instead.
+DataFrame callable; `oracle_sql()` gives a DuckDB oracle for EVERY entry (the
+driver compares row-count + schema + order-insensitive value-hash at sf=0.01):
+ANSI SQL for SQL-expressible ops, and `read_parquet` over the golden files
+written by the independent non-Spark implementations in
+tests/golden_queries.py for UDF-backed ops (image decode, pHash, CLIP proxy,
+langid, MinHash/SimHash, LSH ANN, the full wave). Zero rows-only checks
+remain (enforced by tests/test_entry.py::test_every_query_has_an_oracle).
 
 Frontier-semantics queries run over a deterministic URL view synthesized from
 `orders` (both engines compute the same expressions), so politeness / dedup /
@@ -501,6 +503,38 @@ def q39_neardup_drop(spark, sf_dir):
     return pairs.select(F.col("doc_b").alias("drop_id")).distinct()
 
 
+def q40_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter → single agg (pure scan-bound, the query
+    whose plan must be ONE codegen span over a pushed-down scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q41_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join + count by priority (the
+    synthetic lineitem has no commit/receipt dates, so the EXISTS predicate is
+    'has a returned line' — same plan shape, semi join into a group-count)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -582,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_frontier_set_ops": q37_frontier_set_ops,
         "q38_corpus_build": q38_corpus_build,
         "q39_neardup_drop": q39_neardup_drop,
+        "q40_tpch_q6": q40_tpch_q6,
+        "q41_tpch_q4": q41_tpch_q4,
     }
 
 
@@ -763,6 +799,20 @@ def oracle_sql() -> dict[str, str]:
         "q39_neardup_drop": f"""
             SELECT DISTINCT doc_b AS drop_id
             FROM read_parquet('{REPO}/golden/queries/q20.parquet')
+        """,
+        "q40_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q41_tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
         # q19-q22, q24, q26-q35: UDF/LSH/image ops have no direct SQL form; their
         # oracles are GOLDEN PARQUET files computed by an independent non-Spark
