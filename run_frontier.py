@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--dedup-mode", choices=["exact", "bloom"], default="exact")
     ap.add_argument("--reference-strict", action="store_true")
     ap.add_argument(
+        "--plain-pairs", action="store_true",
+        help="fetch-join against the raw pairs parquet instead of the bucketed "
+        "store (debug only: re-shuffles the bytes side every wave)",
+    )
+    ap.add_argument("--buckets", type=int, default=32, help="pairs_bucketed bucket count")
+    ap.add_argument(
         "--gc", type=int, default=0, metavar="KEEP",
         help="after the run, expire snapshots keeping the newest KEEP",
     )
@@ -63,7 +69,17 @@ def main() -> None:
     )
     wh = Warehouse(args.warehouse)
     links = spark.read.parquet(os.path.join(fx, "wat_links.parquet"))
-    pairs = spark.read.parquet(os.path.join(fx, "pairs.parquet"))
+    pairs_path = os.path.join(fx, "pairs.parquet")
+    if args.plain_pairs:
+        pairs = spark.read.parquet(pairs_path)
+    else:
+        # DEFAULT: one-time bucketed ingest; every wave's fetch join then reads
+        # the bytes side shuffle-free (hash partitioning is a physical property
+        # of the table — sources/bucketed.py). At the 100 TB design point this
+        # is the difference between a per-wave 100 TB shuffle and none.
+        from crawlingathome_worker_spark.sources.bucketed import ensure_bucketed_pairs
+
+        pairs = ensure_bucketed_pairs(spark, pairs_path, buckets=args.buckets)
     robots = spark.read.parquet(os.path.join(fx, "robots.parquet"))
     max_page = links.agg(F.max("page_id")).collect()[0][0]
     step = (max_page + args.waves) // args.waves
