@@ -4,10 +4,19 @@
 DataFrame callable; `oracle_sql()` gives a DuckDB oracle for EVERY entry (the
 driver compares row-count + schema + order-insensitive value-hash at sf=0.01):
 ANSI SQL for SQL-expressible ops, and `read_parquet` over the golden files
-written by the independent non-Spark implementations in
-tests/golden_queries.py for UDF-backed ops (image decode, pHash, CLIP proxy,
-langid, MinHash/SimHash, LSH ANN, the full wave). Zero rows-only checks
-remain (enforced by tests/test_entry.py::test_every_query_has_an_oracle).
+written by tests/golden_queries.py for UDF-backed ops (image decode, pHash,
+CLIP proxy, langid, MinHash/SimHash, LSH ANN, the full wave). Zero rows-only
+checks remain (enforced by tests/test_entry.py::test_every_query_has_an_oracle).
+
+Scope of the golden oracles: the ORCHESTRATION (pair finding, joins, windows,
+top-k, banding) is re-derived independently in plain Python/numpy — brute
+force where the Spark side is bucketed — but the pinned SEMANTIC kernels
+(fakeimg codec, phash, langid, text_feature, seeded hash/plane constructions)
+are the same modules the Spark UDFs import, so a bug inside a shared kernel is
+invisible to this check. Those kernels carry their own independent pins:
+byte-stable committed goldens (tests/test_goldens.py, gen_goldens) and
+property tests, plus the raw-WAT reference crosscheck
+(tests/test_reference_crosscheck.py).
 
 Frontier-semantics queries run over a deterministic URL view synthesized from
 `orders` (both engines compute the same expressions), so politeness / dedup /
@@ -535,6 +544,18 @@ def q41_tpch_q4(spark, sf_dir):
     )
 
 
+def q42_wat_scan(spark, sf_dir):
+    """S1/F1/F2/F3: RAW WAT text → link records through sources/wat.py
+    (spark.read.text → contains("IMG@") prefilter → from_json explicit schema
+    → posexplode). page_id is partition-layout-dependent (monotonic id), so
+    the value contract is the layout-independent projection; page_url is
+    unique per page in the fixture and carries the grouping."""
+    from crawlingathome_worker_spark.sources.wat import read_wat_lines
+
+    path = os.path.join(_fixtures(), "wat_lines.txt")
+    return read_wat_lines(spark, path).select("page_url", "pos", "link_url", "alt")
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -618,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_neardup_drop": q39_neardup_drop,
         "q40_tpch_q6": q40_tpch_q6,
         "q41_tpch_q4": q41_tpch_q4,
+        "q42_wat_scan": q42_wat_scan,
     }
 
 
@@ -838,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
                 "q33_image_resize",
                 "q34_video_frames",
                 "q35_ann_ivf",
+                "q42_wat_scan",
             )
         },
     }

@@ -45,7 +45,7 @@ def _warmup(spark) -> None:
     ).collect()
 
 
-def _wave_bench(spark, fx_dir, cfg):
+def _wave_bench(spark, fx_dir, cfg, links_filter: str | None = None):
     """One full frontier wave (no warehouse I/O): returns (sec, counts)."""
     from pyspark.sql import functions as F
 
@@ -58,6 +58,8 @@ def _wave_bench(spark, fx_dir, cfg):
     # the fixture is one small file; a real WAT shard set arrives as many input
     # splits — repartition to restore the parallelism the scale target has
     links = spark.read.parquet(os.path.join(fx_dir, "wat_links.parquet")).repartition(cpus)
+    if links_filter is not None:
+        links = links.filter(links_filter)
     robots = spark.read.parquet(os.path.join(fx_dir, "robots.parquet"))
     pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
     t0 = time.perf_counter()
@@ -141,10 +143,16 @@ def run_headline() -> dict:
     per_q["wave_frontier"] = round(wave_sec, 3)
 
     # committed wave: full warehouse round-trip in BLOOM mode (snapshot commit,
-    # delta-maintained bloom, cuckoo update) — tracks the state-maintenance
-    # cost the delta design optimizes; min of 2 waves after a warmup wave.
+    # delta-maintained bloom + session-cached merged bits, cuckoo update).
+    # Methodology (ADVICE r2): each wave consumes a DISJOINT page_id shard, so
+    # every timed wave does REAL parse/dedup/fetch/classify/output work against
+    # non-trivial accumulated state — replaying one shard would let the bloom
+    # dedupe everything after wave 1 and time near-empty waves. Wave 1 (state
+    # bootstrap + Python-stage warmup) is untimed; min of the following 3.
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
 
     from crawlingathome_worker_spark.state.snapshots import Warehouse
 
@@ -159,12 +167,27 @@ def run_headline() -> dict:
         pairs_w = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
         from crawlingathome_worker_spark.plans.wave import run_wave
 
+        n_shards = 4
+        shards = [links_w.filter(F.col("page_id") % n_shards == i) for i in range(n_shards)]
+        run_wave(spark, wh, bloom_cfg, pairs_w, robots_w, shards[0], collect_lineage=False)
         committed = []
-        for _ in range(3):
+        for shard in shards[1:]:
             t0 = time.perf_counter()
-            run_wave(spark, wh, bloom_cfg, pairs_w, robots_w, links_w, collect_lineage=False)
+            m = run_wave(spark, wh, bloom_cfg, pairs_w, robots_w, shard, collect_lineage=False)
             committed.append(time.perf_counter() - t0)
-        per_q["wave_committed_bloom"] = round(min(committed[1:]), 3)
+            assert m["counters"]["scheduled"] > 0  # timed waves must do real work
+        per_q["wave_committed_bloom"] = round(min(committed), 3)
+        # commit overhead ratio (the VERDICT r2 done-criterion): committed wave
+        # vs an UNCOMMITTED wave over the SAME quarter shard — isolates the
+        # warehouse round-trip + state maintenance from the pipeline work
+        plain = []
+        for _ in range(3):
+            sec, _c = _wave_bench(
+                spark, fx_dir, bloom_cfg, links_filter=f"page_id % {n_shards} = 1"
+            )
+            plain.append(sec)
+        per_q["wave_quarter_uncommitted"] = round(min(plain), 3)
+        commit_overhead_ratio = round(min(committed) / min(plain), 3)
     finally:
         shutil.rmtree(wh_dir, ignore_errors=True)
 
@@ -190,6 +213,7 @@ def run_headline() -> dict:
             "urls_scheduled_per_sec": round(counts["scheduled"] / wave_sec, 1),
             "pairs_filtered_per_sec": round(counts["ok"] / wave_sec, 1),
             "images_decoded_per_sec": round(n_imgs / dec_sec, 1),
+            "commit_overhead_ratio": commit_overhead_ratio,
             "fixture_scale": BENCH_FIXTURE_SCALE,
         },
     }

@@ -53,7 +53,15 @@ def assign_sample_ids(
     stats = rdf.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mmin")
     )
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # The offsets cumsum runs over exactly P rows, but a bare Window.orderBy
+    # emits a scary (and log-spamming) "No Partition Defined" warning on every
+    # wave. partitionBy(lit(0)) pins the same single-partition frame explicitly
+    # — P rows, by construction — and silences the false alarm.
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = stats.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
     ).select("_pid", "_mmin", "_off")

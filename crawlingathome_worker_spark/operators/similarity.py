@@ -267,6 +267,56 @@ def ivf_topk_pruned(
     return brute_force_topk(stored, q, k, vec_col, id_col)
 
 
+def refresh_ivf_store(
+    spark,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float = 1.0,
+    max_train_rows: int = 65536,
+) -> np.ndarray:
+    """Maintenance: RE-TRAIN the IVF codebook on the store's CURRENT contents
+    and rewrite the store partitioned by the new cells (ROADMAP gap 5).
+
+    Embedding distributions drift as a corpus grows — centroids trained on the
+    first 1% of data leave later vectors crowded into a few cells, which
+    defeats partition pruning (a probe reads most of the store) and recall
+    (the true neighbors straddle cell boundaries the stale codebook drew).
+    Periodic refresh is the standard IVF answer (FAISS retrain / Milvus
+    reindex); composed here like compact_appends: read → retrain → rewrite →
+    swap. The swap is write-to-sibling + two renames — on Iceberg this whole
+    op is `rewrite_data_files` with a new partition spec, atomic at the
+    snapshot commit. Returns the new centroids (the store's query codebook)."""
+    import os
+    import shutil
+
+    stored = spark.read.parquet(path)
+    if "ivf_cell" in stored.columns:
+        stored = stored.drop("ivf_cell")
+    cents = train_ivf_centroids(
+        stored,
+        n_cells=n_cells,
+        iters=iters,
+        seed=seed,
+        vec_col=vec_col,
+        sample_fraction=sample_fraction,
+        max_train_rows=max_train_rows,
+        order_col=id_col,
+    )
+    tmp = path.rstrip("/") + ".refresh-tmp"
+    old = path.rstrip("/") + ".refresh-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_ivf_partitioned(stored, cents, tmp, vec_col)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return cents
+
+
 def banded_lsh_signatures(
     df: DataFrame,
     dim: int,
@@ -373,12 +423,36 @@ def knn_self_join(
         .select("id_a", "id_b", "cosine")
     )
     out._banded_cache = banded_cache
+    _BANDED_CACHES.append(banded_cache)
     return out
 
 
-def unpersist_knn_cache(df: DataFrame) -> None:
-    """Release the banded-signature cache pinned by knn_self_join (no-op on
-    other frames)."""
+# Module-level registry of persisted banded frames: the `_banded_cache`
+# attribute is a convenience handle that any downstream .select() silently
+# drops (Python attributes don't survive DataFrame re-projection), so a
+# long-running session could otherwise never release the persists. Callers
+# that re-project the result (the driver queries do) call release_knn_caches()
+# at a safe point instead.
+_BANDED_CACHES: list[DataFrame] = []
+
+
+def unpersist_knn_cache(df: DataFrame | None = None) -> None:
+    """Release the banded-signature cache pinned by knn_self_join. With a
+    frame: releases that frame's cache if the handle survived (no-op
+    otherwise). With no argument: releases every registered cache."""
+    if df is None:
+        release_knn_caches()
+        return
     cached = getattr(df, "_banded_cache", None)
     if cached is not None:
         cached.unpersist()
+        try:
+            _BANDED_CACHES.remove(cached)
+        except ValueError:
+            pass
+
+
+def release_knn_caches() -> None:
+    """Unpersist ALL banded caches created by knn_self_join in this session."""
+    while _BANDED_CACHES:
+        _BANDED_CACHES.pop().unpersist()

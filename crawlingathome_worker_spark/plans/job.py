@@ -44,7 +44,22 @@ def run_job(
     # unioned in for warehouses written before the cumulative field existed
     latest = wh.latest()
     done = set((latest or {}).get("completed_shards", []))
-    done |= {m.get("shard_key") for m in wh.committed()} - {None}
+    committed = wh.committed()
+    done |= {m.get("shard_key") for m in committed} - {None}
+    has_bookkeeping = any("shard_key" in m or "completed_shards" in m for m in committed)
+    if latest is not None and latest.get("wave_no", 0) > 0 and not has_bookkeeping:
+        # Migration guard: a warehouse with committed input waves but NO shard
+        # bookkeeping FIELDS anywhere was written by a pre-shard_key version —
+        # a silent resume would reprocess every shard and append duplicate rows
+        # to pairs_out. Fail loudly instead of guessing (wave_no is ambiguous
+        # once drain waves enter the history; drain manifests carry
+        # shard_key=None, so field PRESENCE is the discriminator).
+        raise RuntimeError(
+            f"warehouse {wh.root} has {latest['wave_no']} committed wave(s) but no "
+            "shard_key/completed_shards records (written by a pre-shard_key version); "
+            "resuming would duplicate output — start a fresh warehouse, or re-commit "
+            "a manifest carrying 'completed_shards' for the already-processed shards"
+        )
     for i, shard in enumerate(shards, start=1):
         key = f"shard-{i:06d}"
         if key in done:  # already committed by a previous run — resume semantics

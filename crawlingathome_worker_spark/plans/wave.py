@@ -126,7 +126,17 @@ def run_wave(
         # delta-maintained bloom: base bits ∪ per-wave key deltas, OR-merged at
         # read (lazy — one extra cogroup in the same job), compacted below
         parsed_deltas = (parent or {}).get("tables", {}).get("bloom_parsed_delta", [])
-        if parsed_deltas:
+        # SESSION CACHE of the OR-merged parsed bloom (ROADMAP gap 4 / VERDICT
+        # r2 item 2): within one driver session the merged bits stay persisted
+        # executor-side between waves, so the read path pays neither the base-
+        # bits parquet re-read (24 GB at design scale) nor the re-fold of ALL
+        # accumulated deltas — each wave folds only ITS OWN keys once, at
+        # commit. Keyed by parent snapshot id: a fresh Warehouse object (crash
+        # resume) or a foreign commit misses and falls back to the table read.
+        cache = getattr(wh, "_bloom_session_cache", None)
+        if cache is not None and parent and cache["snap"] == parent["snapshot_id"]:
+            bloom_p = cache["df"]
+        elif parsed_deltas:
             delta_keys = wh.read_table(spark, parent, "bloom_parsed_delta", RETRY_SCHEMA)
             bloom_p = bloom_add(bloom_p_base, delta_keys, cfg.bloom, key="pair_md5")
         else:
@@ -163,6 +173,17 @@ def run_wave(
     # 7. state updates (lazy definitions; which ones are WRITTEN depends on mode)
     attempted = classified.select("pair_md5", "fetch_status")
 
+    # status counts FIRST (one groupBy materializes the persisted classified
+    # frame; all later writes read the cache): the write path below uses
+    # n_scheduled / n_errors to SKIP state writes that cannot change anything.
+    status_counts = {
+        r["fetch_status"]: r["count"]
+        for r in classified.groupBy("fetch_status").count().collect()
+    }
+    n_scheduled = sum(status_counts.values())
+    n_errors = status_counts.get("error", 0)
+    n_ok = status_counts.get("ok", 0)
+
     # 8. write tables. The deferred count rides an observe() on the frontier
     # write (no separate count() job recomputing the politeness subtree), and
     # candidates/unseen come from observe() nodes materialized by the same
@@ -183,10 +204,19 @@ def run_wave(
         # state and are not written at all in bloom mode.
         if parent and parent["tables"].get("bloom_clipped"):
             tables["bloom_clipped"] = list(parent["tables"]["bloom_clipped"])
-        if len(parsed_deltas) + 1 >= cfg.bloom_compact_every:
+        next_merged = bloom_p  # what the session cache holds after this commit
+        if n_scheduled == 0:
+            # empty wave (e.g. drain with nothing scheduled): no keys to add —
+            # carry every parsed pointer forward untouched, write nothing
+            if parent and parent["tables"].get("bloom_parsed"):
+                tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
+            tables["bloom_parsed_delta"] = list(parsed_deltas)
+        elif len(parsed_deltas) + 1 >= cfg.bloom_compact_every:
             new_base = bloom_add(bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
+            new_base = new_base.persist(StorageLevel.MEMORY_AND_DISK)
             tables["bloom_parsed"] = [wh.write_table(new_base, "bloom_parsed", snap_id)]
             tables["bloom_parsed_delta"] = []
+            next_merged = new_base  # the write above materialized it
         else:
             if parent and parent["tables"].get("bloom_parsed"):
                 tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
@@ -195,11 +225,30 @@ def run_wave(
                     attempted.select("pair_md5").distinct(), "bloom_parsed_delta", snap_id
                 )
             ]
+            next_merged = bloom_add(
+                bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5"
+            )
+        # cuckoo: parent emptiness rides the manifest so waves that cannot
+        # change the table (no failures to insert, nothing to delete from an
+        # empty table, or nothing attempted at all) skip the rewrite entirely
+        # (VERDICT r2 item 2). Pre-field manifests with a cuckoo table are
+        # conservatively treated as non-empty.
+        parent_tables = (parent or {}).get("tables", {})
+        parent_cuckoo_nonempty = bool(
+            (parent or {}).get(
+                "cuckoo_nonempty", bool(parent_tables.get("cuckoo_state"))
+            )
+        )
         if cfg.reference_strict:
-            if parent and parent["tables"].get("cuckoo_state"):
-                tables["cuckoo_state"] = list(parent["tables"]["cuckoo_state"])
+            if parent and parent_tables.get("cuckoo_state"):
+                tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
             else:
                 tables["cuckoo_state"] = [wh.write_table(cuckoo, "cuckoo_state", snap_id)]
+            manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
+        elif n_scheduled == 0 or (n_errors == 0 and not parent_cuckoo_nonempty):
+            if parent and parent_tables.get("cuckoo_state"):
+                tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
+            manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
         else:
             failures_k = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
             resolved_k = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
@@ -207,6 +256,9 @@ def run_wave(
                 cuckoo, inserts=failures_k, deletes=resolved_k, params=cfg.cuckoo
             )
             tables["cuckoo_state"] = [wh.write_table(new_cuckoo, "cuckoo_state", snap_id)]
+            # deletions may have emptied it, but claiming non-empty is safe
+            # (costs at most one later rewrite, never a wrong gate)
+            manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty or n_errors > 0
     else:
         new_seen = seen_keys.unionByName(
             attempted.select("pair_md5").distinct().withColumn("kind", F.lit("parsed"))
@@ -224,14 +276,7 @@ def run_wave(
     tables.setdefault("pairs_out", []).append(wh.write_table(out, "pairs_out", snap_id))
 
     # 9. lineage + counters (A1, north_rule per-partition granularity);
-    # statuses come from ONE groupBy over the persisted classified frame.
-    status_counts = {
-        r["fetch_status"]: r["count"]
-        for r in classified.groupBy("fetch_status").count().collect()
-    }
-    n_scheduled = sum(status_counts.values())
-    n_errors = status_counts.get("error", 0)
-    n_ok = status_counts.get("ok", 0)
+    # statuses came from ONE groupBy over the persisted classified frame (step 7).
     counters = {
         "candidates": _obs_count(obs_cands, cands),
         "unseen": _obs_count(obs_unseen, unseen),
@@ -261,6 +306,28 @@ def run_wave(
     manifest["next_sample_id"] = start_id + n_scheduled
     try:
         wh.commit(manifest)  # may raise ConcurrentCommitError (loser of a race)
+        if cfg.dedup_mode == "bloom":
+            # Hand the merged bloom to the session cache. localCheckpoint
+            # materializes it NOW (its lineage runs through `classified`,
+            # which the finally block unpersists) and TRUNCATES the lineage —
+            # without truncation the cached plan would chain every prior
+            # wave's full pipeline (observe-name collisions immediately,
+            # analysis-time blowup at wave counts that matter). The fold work
+            # equals what the next wave's read path would otherwise pay, minus
+            # the base-bits parquet re-read. Blocks are session-local: a lost
+            # executor fails the wave's gate job, and the rerun rebuilds the
+            # cache from the durable base+delta tables (resume semantics).
+            old = getattr(wh, "_bloom_session_cache", None)
+            if old is not None and next_merged is old["df"]:
+                # state unchanged this wave — re-key the existing cache
+                wh._bloom_session_cache = {"snap": manifest["snapshot_id"], "df": next_merged}
+            else:
+                cached = next_merged.localCheckpoint(eager=True)
+                if next_merged.storageLevel != StorageLevel.NONE:
+                    next_merged.unpersist()
+                wh._bloom_session_cache = {"snap": manifest["snapshot_id"], "df": cached}
+                if old is not None:
+                    old["df"].unpersist()
     finally:
         cands.unpersist()
         gated.unpersist()

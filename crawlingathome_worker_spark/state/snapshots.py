@@ -180,25 +180,37 @@ class Warehouse:
         concurrency at manifest granularity; os.replace would silently
         last-write-win and orphan the first writer's data files)."""
         path = self._snap_path(manifest["snapshot_id"])
-        # WRITER-UNIQUE tmp name: a shared `path + .tmp` would let a concurrent
-        # committer truncate this writer's bytes between fsync and link (torn /
-        # swapped manifest committed under this writer's success)
-        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)  # atomic, fails with EEXIST if already committed
-        except FileExistsError as e:
-            raise ConcurrentCommitError(
-                f"snapshot {manifest['snapshot_id']} was committed by another writer"
-            ) from e
-        finally:
+        # Retry loop: a writer stalled longer than TMP_GC_AGE_SECONDS between
+        # fsync and link can have its tmp swept by a concurrent reader's
+        # age-gated gc (latest()); the link then raises FileNotFoundError.
+        # Re-writing the tmp and retrying turns that rare race into a clean
+        # commit instead of a lost wave.
+        for attempt in range(3):
+            # WRITER-UNIQUE tmp name: a shared `path + .tmp` would let a
+            # concurrent committer truncate this writer's bytes between fsync
+            # and link (torn / swapped manifest committed under this writer's
+            # success)
+            tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+                os.link(tmp, path)  # atomic, fails with EEXIST if already committed
+                return
+            except FileExistsError as e:
+                raise ConcurrentCommitError(
+                    f"snapshot {manifest['snapshot_id']} was committed by another writer"
+                ) from e
+            except FileNotFoundError:
+                if attempt == 2:
+                    raise
+                continue  # tmp swept mid-commit — rewrite and retry
+            finally:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
 
     # -- tables --------------------------------------------------------------
     def write_table(self, df: DataFrame, name: str, snap_id: int) -> str:

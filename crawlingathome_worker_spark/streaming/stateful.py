@@ -113,7 +113,12 @@ def host_quota_limiter_tws(
     starting the query); semantics are identical to the applyInPandasWithState
     path and the test asserts output equality between the two."""
     if not HAS_TWS:  # pragma: no cover
-        raise NotImplementedError("transformWithStateInPandas needs pyspark >= 4.0")
+        raise NotImplementedError(
+            "transformWithStateInPandas unavailable: pyspark's typed-state API "
+            "or its protobuf dependency is missing in this environment "
+            "(pip install protobuf enables it; the applyInPandasWithState "
+            "path above is the drop-in equivalent)"
+        )
     return events.groupBy("host").transformWithStateInPandas(
         statefulProcessor=HostQuotaProcessor(quota, order_cols),
         outputStructType=events.schema,

@@ -522,6 +522,47 @@ def g30_wave_flagship(sf_dir: str, fx_dir: str) -> pa.Table:
     )
 
 
+def g42_wat_scan(sf_dir: str, fx_dir: str) -> pa.Table:
+    """Independent parse of the RAW WAT text (S1/F1/F2/F3): the literal
+    reference control flow — line scan, "IMG@" substring prefilter BEFORE the
+    JSON parse, Links projection, per-link enumeration — re-derived with plain
+    json.loads (crawlingathome.py:42-49; no Spark, no sources/wat.py)."""
+    import json
+
+    page_urls, poss, link_urls, alts = [], [], [], []
+    with open(os.path.join(fx_dir, "wat_lines.txt"), encoding="utf-8") as f:
+        for line in f:
+            if "IMG@" not in line:  # F1 prefilter (crawlingathome.py:43)
+                continue
+            try:
+                j = json.loads(line)
+                env = j["Envelope"]
+                page_url = env["WARC-Header-Metadata"]["WARC-Target-URI"]
+                links = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"][
+                    "Links"
+                ]
+            except (KeyError, ValueError):
+                continue  # reference's try/except drop (crawlingathome.py:58-61, 70-79)
+            if page_url is None or links is None:
+                continue
+            for pos, link in enumerate(links):
+                url = link.get("url")
+                if url is None:
+                    continue
+                page_urls.append(page_url)
+                poss.append(pos)
+                link_urls.append(url)
+                alts.append(link.get("alt"))
+    return pa.table(
+        {
+            "page_url": pa.array(page_urls, pa.string()),
+            "pos": pa.array(poss, pa.int32()),
+            "link_url": pa.array(link_urls, pa.string()),
+            "alt": pa.array(alts, pa.string()),
+        }
+    )
+
+
 GOLDEN_QUERIES = {
     "q19_lang_pred": g19_lang_pred,
     "q20_minhash_lsh_pairs": g20_minhash_lsh_pairs,
@@ -538,4 +579,5 @@ GOLDEN_QUERIES = {
     "q33_image_resize": g33_image_resize,
     "q34_video_frames": g34_video_frames,
     "q35_ann_ivf": g35_ann_ivf,
+    "q42_wat_scan": g42_wat_scan,
 }

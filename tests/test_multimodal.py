@@ -127,3 +127,52 @@ def test_lsh_store_partition_pruning(spark, tmp_path):
         for r in lsh_bucketed_topk(df, q, k=5, n_planes=8).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_ivf_store_refresh_on_drifted_data(spark, tmp_path):
+    """ROADMAP gap 5: a store built when the corpus lived in 2 clusters is
+    appended with vectors from 2 NEW (shifted) clusters; the stale codebook
+    crowds them into few cells and recall at n_probe=2 degrades. refresh_ivf_store
+    must (a) rebalance cell occupancy, (b) restore near-perfect recall for
+    queries in the drifted region, (c) keep PartitionFilters pruning."""
+    from crawlingathome_worker_spark.operators.similarity import (
+        ivf_topk_pruned,
+        refresh_ivf_store,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(17)
+    dim = 16
+    old_centers = rng.standard_normal((2, dim)) * 3
+    new_centers = rng.standard_normal((2, dim)) * 3 + 8.0  # drifted region
+    old_vecs = np.stack([old_centers[i % 2] + rng.standard_normal(dim) * 0.3 for i in range(200)])
+    new_vecs = np.stack([new_centers[i % 2] + rng.standard_normal(dim) * 0.3 for i in range(200)])
+    old_df = spark.createDataFrame(
+        [(i, [float(x) for x in old_vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    all_vecs = np.concatenate([old_vecs, new_vecs])
+    all_df = spark.createDataFrame(
+        [(i, [float(x) for x in all_vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # store built on the ORIGINAL distribution, then rewritten with ALL data
+    # but the STALE codebook (what naive appends produce)
+    stale_cents = train_ivf_centroids(old_df, n_cells=4, iters=15)
+    path = str(tmp_path / "emb_ivf_drift")
+    write_ivf_partitioned(all_df, stale_cents, path)
+
+    q = all_vecs[307]  # a query in the DRIFTED region
+    want = {r["vec_id"] for r in brute_force_topk(all_df, q, k=10).collect()}
+
+    fresh_cents = refresh_ivf_store(spark, path, n_cells=4, iters=15)
+    refreshed = spark.read.parquet(path)
+    sizes = sorted(r["count"] for r in refreshed.groupBy("ivf_cell").count().collect())
+    assert len(sizes) == 4 and sizes[0] >= 50  # occupancy rebalanced (~100 each)
+
+    out = ivf_topk_pruned(spark, path, fresh_cents, q, k=10, n_probe=2)
+    got = {r["vec_id"] for r in out.collect()}
+    assert len(want & got) >= 9  # recall restored on the drifted region
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters", 1)[1][:200]

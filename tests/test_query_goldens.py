@@ -37,6 +37,7 @@ GOLDEN_QUERIES = [
     "q33_image_resize",
     "q34_video_frames",
     "q35_ann_ivf",
+    "q42_wat_scan",
 ]
 
 pytestmark = pytest.mark.skipif(

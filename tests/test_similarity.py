@@ -1,6 +1,9 @@
 """ANN operators: brute-force exactness vs numpy, LSH recall, near-dup planting."""
 
+import os
+
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from crawlingathome_worker_spark.operators.similarity import (
@@ -99,3 +102,86 @@ def test_knn_banded_recall_matches_lsh_math(spark):
     expect = 1 - (1 - p_bit**bits) ** tables
     assert abs(recall - expect) < 0.15, (recall, expect)
     assert recall > 0.5  # the operator is actually useful at these settings
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.1"), reason="sf0.1 testdata not present"
+)
+def test_recall_calibration_at_sf01(spark):
+    """Recall calibration at a SECOND scale (VERDICT r2 item 8): the unit
+    fixtures above pin recall on 300-row synthetics; this repeats both
+    calibrations on the driver's sf0.1 tables (2000 embeddings, 5000 docs)
+    against numpy brute force.
+
+    - knn_self_join (probabilistic banding): expected recall for a pair at
+      angle θ is p(θ) = 1 - (1 - (1-θ/π)^bits)^tables; the empirical recall
+      must match the MEAN of p(θ) over the true pairs (they sit at varying
+      angles, so the per-pair formula is averaged, not evaluated at one θ).
+    - simhash banding (pigeonhole, bands = radius+1): recall is EXACTLY 1.0
+      at any radius by construction — asserted as set equality.
+    """
+    import math
+
+    import pyarrow.parquet as pq
+
+    from crawlingathome_worker_spark.operators.similarity import knn_self_join
+    from crawlingathome_worker_spark.operators.textdedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+    from tests.golden_queries import _simhash
+
+    # --- knn_self_join on sf0.1 embeddings ---------------------------------
+    sf_dir = "/root/testdata/sf0.1"
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    cos = mn @ mn.T
+    threshold, bits, tables = 0.4, 6, 4
+    iu = np.triu_indices(len(ids), k=1)
+    true_mask = cos[iu] >= threshold
+    true_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][true_mask], iu[1][true_mask])
+    }
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in knn_self_join(
+            df, threshold=threshold, n_tables=tables, bits_per_table=bits, dim=64
+        ).collect()
+    }
+    assert got <= true_pairs  # no false positives: exact cosine verifies candidates
+    recall = len(got & true_pairs) / len(true_pairs)
+    thetas = np.arccos(np.clip(cos[iu][true_mask], -1.0, 1.0))
+    expect = float(np.mean(1 - (1 - (1 - thetas / math.pi) ** bits) ** tables))
+    assert abs(recall - expect) < 0.10, (recall, expect, len(true_pairs))
+
+    # --- simhash banding on sf0.1 documents: EXACT recall ------------------
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pylist()
+    fps = {d["doc_id"]: _simhash(d["text"]) for d in docs}
+    radius = 3
+    dids = sorted(fps)
+    fp_arr = np.array([fps[d] for d in dids], dtype=np.uint64)
+    # popcount via bit tricks: hamming(a,b) over all pairs, vectorized per row
+    want = set()
+    for i in range(len(dids)):
+        x = fp_arr[i] ^ fp_arr[i + 1 :]
+        h = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            h += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        for off in np.nonzero(h <= radius)[0]:
+            want.add((dids[i], dids[i + 1 + int(off)]))
+    sdf = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got_sh = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(simhash_fingerprints(sdf), max_hamming=radius).collect()
+    }
+    assert got_sh == want  # pigeonhole banding: complete AND exact
+    assert len(want) > 0  # the fixture actually plants near-dups at this scale

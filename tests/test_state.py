@@ -287,3 +287,124 @@ def test_resume_survives_snapshot_gc(spark, fx_dir, tmp_path):
     again = run_job(spark, wh, cfg, shards, pairs, robots)
     assert again == []  # nothing reprocessed
     assert wh.latest()["wave_no"] == 3
+
+
+def test_bloom_session_cache_and_cuckoo_skip(spark, fx_dir, tmp_path):
+    """Session-cached merged bloom (VERDICT r2 item 2): waves on the SAME
+    Warehouse object reuse the persisted merged bits (cache re-keys to each new
+    snapshot), a FRESH Warehouse object (crash resume) misses the cache but
+    reaches the identical state from the tables, and waves that cannot change
+    the cuckoo (no errors, empty table) carry the pointer instead of rewriting."""
+    from crawlingathome_worker_spark.config import BloomParams, CuckooParams, EngineConfig
+    from crawlingathome_worker_spark.plans.wave import run_wave
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    cfg = EngineConfig(
+        default_host_budget=100_000,
+        wave_seconds=0.0,
+        dedup_mode="bloom",
+        bloom=BloomParams(capacity=100_000, fpr=1e-5, partitions=4),
+        cuckoo=CuckooParams(buckets_per_partition=1 << 12, partitions=4),
+        bloom_compact_every=100,  # never compact: the cache must carry deltas
+    )
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    shards = [
+        links.filter(f"page_id % 3 = {i} and page_id < 120") for i in range(3)
+    ]
+
+    wh = Warehouse(str(tmp_path / "wh_cached"))
+    m1 = run_wave(spark, wh, cfg, pairs, robots, shards[0], collect_lineage=False)
+    assert wh._bloom_session_cache["snap"] == m1["snapshot_id"]
+    cached_df = wh._bloom_session_cache["df"]
+    # localCheckpoint: materialized blocks + TRUNCATED lineage (an RDD scan,
+    # not the wave pipeline — re-evaluating it must not re-run the wave)
+    assert "ExistingRDD" in cached_df._jdf.queryExecution().executedPlan().toString()
+    m2 = run_wave(spark, wh, cfg, pairs, robots, shards[1], collect_lineage=False)
+    assert wh._bloom_session_cache["snap"] == m2["snapshot_id"]
+
+    # fresh Warehouse = crash resume: cache miss, same state from tables —
+    # wave 3 must behave identically on both objects
+    wh_resume = Warehouse(str(tmp_path / "wh_cached"))
+    import shutil
+
+    shutil.copytree(str(tmp_path / "wh_cached"), str(tmp_path / "wh_copy"))
+    m3_cached = run_wave(spark, wh, cfg, pairs, robots, shards[2], collect_lineage=False)
+    m3_fresh = run_wave(
+        spark, Warehouse(str(tmp_path / "wh_copy")), cfg, pairs, robots, shards[2],
+        collect_lineage=False,
+    )
+    assert m3_cached["counters"] == m3_fresh["counters"]
+    assert wh_resume is not wh  # (the cache lives per-object, not per-root)
+
+    # cuckoo skip: replay an already-seen shard on a warehouse whose cuckoo is
+    # EMPTY (no errors ever inserted) — zero scheduled, so the manifest must
+    # carry the parent pointer rather than rewrite the table
+    errors_so_far = (
+        m1["counters"]["errors"] + m2["counters"]["errors"] + m3_cached["counters"]["errors"]
+    )
+    latest = wh.latest()
+    if errors_so_far == 0:
+        assert not latest.get("cuckoo_nonempty", False)
+    m4 = run_wave(spark, wh, cfg, pairs, robots, None, collect_lineage=False)  # drain
+    if m4["counters"]["scheduled"] == 0:
+        assert m4["tables"].get("cuckoo_state", []) == latest["tables"].get("cuckoo_state", [])
+        assert m4["tables"].get("bloom_parsed_delta", []) == latest["tables"].get(
+            "bloom_parsed_delta", []
+        )
+
+    # bloom ≡ exact equivalence with the cache engaged end-to-end (same wave
+    # sequence on both warehouses, including the drain)
+    cfg_e = EngineConfig(default_host_budget=100_000, wave_seconds=0.0, dedup_mode="exact")
+    wh_e = Warehouse(str(tmp_path / "wh_exact"))
+    for s in shards:
+        run_wave(spark, wh_e, cfg_e, pairs, robots, s, collect_lineage=False)
+    run_wave(spark, wh_e, cfg_e, pairs, robots, None, collect_lineage=False)
+    out_b = {
+        (r["sample_id"], r["url"])
+        for r in wh.read_table(spark, wh.latest(), "pairs_out").collect()
+    }
+    out_e = {
+        (r["sample_id"], r["url"])
+        for r in wh_e.read_table(spark, wh_e.latest(), "pairs_out").collect()
+    }
+    assert out_b == out_e
+
+
+def test_pre_shard_key_warehouse_fails_loudly(spark, fx_dir, tmp_path):
+    """Resume migration guard: a warehouse whose committed manifests predate
+    shard bookkeeping must refuse run_job resume instead of silently
+    reprocessing every shard (duplicate pairs_out rows)."""
+    import json
+    import os
+
+    import pytest
+
+    from crawlingathome_worker_spark.config import EngineConfig
+    from crawlingathome_worker_spark.plans.job import run_job
+    from crawlingathome_worker_spark.plans.wave import run_wave
+    from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+    cfg = EngineConfig(default_host_budget=10)
+    wh = Warehouse(str(tmp_path / "wh_old"))
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet").filter("page_id < 30")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False, shard_key="shard-000001")
+    # strip the bookkeeping fields to simulate a pre-shard_key manifest
+    for name in os.listdir(os.path.join(wh.root, "snapshots")):
+        p = os.path.join(wh.root, "snapshots", name)
+        with open(p) as f:
+            m = json.load(f)
+        m.pop("shard_key", None)
+        m.pop("completed_shards", None)
+        os.unlink(p)
+        with open(p, "w") as f:
+            json.dump(m, f)
+    with pytest.raises(RuntimeError, match="pre-shard_key"):
+        run_job(spark, wh, cfg, [links], pairs, robots)
+    # a modern warehouse with only DRAIN waves must NOT trip the guard
+    wh2 = Warehouse(str(tmp_path / "wh_drain"))
+    run_wave(spark, wh2, cfg, pairs, robots, None, collect_lineage=False)
+    run_job(spark, wh2, cfg, [links], pairs, robots)  # no raise
