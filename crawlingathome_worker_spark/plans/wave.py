@@ -168,32 +168,73 @@ def run_wave(
     # 6. simulated fetch + decode + filters + score (F9/F10 + CLIP proxy)
     fetched = simulated_fetch(scheduled, pairs)
     classified = classify_and_score(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    # NOTE: the status counts deliberately do NOT ride an observe() under the
+    # pairs_out sort — a global orderBy runs its child twice in one query
+    # (range-boundary sampling pass + real pass) and CollectMetrics would
+    # double-count every row. They run as a concurrent groupBy job instead.
     out = output_rows(classified).orderBy("sample_id")
 
     # 7. state updates (lazy definitions; which ones are WRITTEN depends on mode)
     attempted = classified.select("pair_md5", "fetch_status")
 
-    # status counts FIRST (one groupBy materializes the persisted classified
-    # frame; all later writes read the cache): the write path below uses
-    # n_scheduled / n_errors to SKIP state writes that cannot change anything.
-    status_counts = {
-        r["fetch_status"]: r["count"]
-        for r in classified.groupBy("fetch_status").count().collect()
-    }
-    n_scheduled = sum(status_counts.values())
-    n_errors = status_counts.get("error", 0)
-    n_ok = status_counts.get("ok", 0)
-
-    # 8. write tables. The deferred count rides an observe() on the frontier
-    # write (no separate count() job recomputing the politeness subtree), and
-    # candidates/unseen come from observe() nodes materialized by the same
-    # actions — lineage costs zero extra jobs unless collect_lineage is set.
+    # 8. write tables — TWO parallel batches of independent actions submitted
+    # from driver threads (concurrent Spark jobs): at bench scale a committed
+    # wave is otherwise dominated by 4-6 small sequential jobs each paying the
+    # constant per-job latency. Batch 1 = frontier write + pairs_out write +
+    # status groupBy (the heavy materializations, overlapped). Batch 2 = the
+    # state writes, which need the status counts to decide what can be
+    # SKIPPED, and by then read pure cache. The deferred count rides an
+    # observe() on the frontier write, and candidates/unseen come from
+    # observe() nodes materialized by the same actions — lineage costs zero
+    # extra jobs unless collect_lineage is set.
     tables = manifest["tables"]
+
     obs_deferred = Observation("deferred")
     frontier_out = deferred.select(*frontier.columns).observe(
         obs_deferred, F.count(F.lit(1)).alias("n")
     )
-    tables["frontier"] = [wh.write_table(frontier_out, "frontier", snap_id)]
+
+    def _set(key):
+        def setter(rel):
+            tables[key] = [rel]
+
+        return setter
+
+    def _run_writes(pending):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(pending)) as ex:
+            futs = [
+                (ex.submit(wh.write_table, df, name, snap_id), setter)
+                for df, name, setter in pending
+            ]
+            for fut, setter in futs:
+                setter(fut.result())
+
+    # batch 1: the two heavy independent actions + the status-count groupBy,
+    # concurrent. All three share the persisted `classified`/`gated` frames:
+    # racing first-materialization at worst computes a partition twice into
+    # the same cache (values are deterministic), and the wall-clock win is the
+    # whole point — the per-job latency constants overlap instead of stacking.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=3) as ex:
+        f_frontier = ex.submit(wh.write_table, frontier_out, "frontier", snap_id)
+        f_out = ex.submit(wh.write_table, out, "pairs_out", snap_id)
+        f_status = ex.submit(
+            lambda: {
+                r["fetch_status"]: r["count"]
+                for r in classified.groupBy("fetch_status").count().collect()
+            }
+        )
+        tables["frontier"] = [f_frontier.result()]
+        tables.setdefault("pairs_out", []).append(f_out.result())
+        status_counts = f_status.result()
+    n_scheduled = sum(status_counts.values())
+    n_errors = status_counts.get("error", 0)
+    n_ok = status_counts.get("ok", 0)
+
+    pending: list[tuple] = []  # batch 2: (DataFrame, table_name, setter(rel_path))
 
     if cfg.dedup_mode == "bloom":
         # J4: bloom-add ALL attempted keys to "parsed" (crawlingathome.py:148-154).
@@ -214,17 +255,19 @@ def run_wave(
         elif len(parsed_deltas) + 1 >= cfg.bloom_compact_every:
             new_base = bloom_add(bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
             new_base = new_base.persist(StorageLevel.MEMORY_AND_DISK)
-            tables["bloom_parsed"] = [wh.write_table(new_base, "bloom_parsed", snap_id)]
             tables["bloom_parsed_delta"] = []
-            next_merged = new_base  # the write above materialized it
+            pending.append((new_base, "bloom_parsed", _set("bloom_parsed")))
+            next_merged = new_base  # the write materializes it
         else:
             if parent and parent["tables"].get("bloom_parsed"):
                 tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
-            tables["bloom_parsed_delta"] = list(parsed_deltas) + [
-                wh.write_table(
-                    attempted.select("pair_md5").distinct(), "bloom_parsed_delta", snap_id
-                )
-            ]
+
+            def _append_delta(rel, base=list(parsed_deltas)):
+                tables["bloom_parsed_delta"] = base + [rel]
+
+            pending.append(
+                (attempted.select("pair_md5").distinct(), "bloom_parsed_delta", _append_delta)
+            )
             next_merged = bloom_add(
                 bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5"
             )
@@ -243,7 +286,7 @@ def run_wave(
             if parent and parent_tables.get("cuckoo_state"):
                 tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
             else:
-                tables["cuckoo_state"] = [wh.write_table(cuckoo, "cuckoo_state", snap_id)]
+                pending.append((cuckoo, "cuckoo_state", _set("cuckoo_state")))
             manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
         elif n_scheduled == 0 or (n_errors == 0 and not parent_cuckoo_nonempty):
             if parent and parent_tables.get("cuckoo_state"):
@@ -255,7 +298,7 @@ def run_wave(
             new_cuckoo = cuckoo_update(
                 cuckoo, inserts=failures_k, deletes=resolved_k, params=cfg.cuckoo
             )
-            tables["cuckoo_state"] = [wh.write_table(new_cuckoo, "cuckoo_state", snap_id)]
+            pending.append((new_cuckoo, "cuckoo_state", _set("cuckoo_state")))
             # deletions may have emptied it, but claiming non-empty is safe
             # (costs at most one later rewrite, never a wrong gate)
             manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty or n_errors > 0
@@ -271,9 +314,10 @@ def run_wave(
             new_retry = (
                 retry_keys.unionByName(failures).distinct().join(resolved, "pair_md5", "left_anti")
             )
-        tables["seen_keys"] = [wh.write_table(new_seen, "seen_keys", snap_id)]
-        tables["retry_keys"] = [wh.write_table(new_retry, "retry_keys", snap_id)]
-    tables.setdefault("pairs_out", []).append(wh.write_table(out, "pairs_out", snap_id))
+        pending.append((new_seen, "seen_keys", _set("seen_keys")))
+        pending.append((new_retry, "retry_keys", _set("retry_keys")))
+    if pending:
+        _run_writes(pending)
 
     # 9. lineage + counters (A1, north_rule per-partition granularity);
     # statuses came from ONE groupBy over the persisted classified frame (step 7).
