@@ -316,11 +316,9 @@ def run_wave(
             )
         pending.append((new_seen, "seen_keys", _set("seen_keys")))
         pending.append((new_retry, "retry_keys", _set("retry_keys")))
-    if pending:
-        _run_writes(pending)
 
     # 9. lineage + counters (A1, north_rule per-partition granularity);
-    # statuses came from ONE groupBy over the persisted classified frame (step 7).
+    # statuses came from the batch-1 groupBy over the persisted classified frame.
     counters = {
         "candidates": _obs_count(obs_cands, cands),
         "unseen": _obs_count(obs_unseen, unseen),
@@ -338,41 +336,70 @@ def run_wave(
         }
 
     # metrics table: totals (partition_id = -1) + per-partition lineage rows
-    # (north_rule: per-partition fetched/filtered/rejected counters)
+    # (north_rule: per-partition fetched/filtered/rejected counters) — joins
+    # batch 2 (counters are known once batch 1 finished)
     metric_rows = [(wave_no, k, -1, int(v)) for k, v in counters.items()]
     for stage, parts in manifest.get("lineage", {}).items():
         metric_rows += [(wave_no, stage, p["partition_id"], p["n"]) for p in parts]
     metrics = spark.createDataFrame(
         metric_rows, "wave_no int, counter string, partition_id int, value long"
     )
-    tables.setdefault("metrics", []).append(wh.write_table(metrics, "metrics", snap_id))
+    pending.append(
+        (metrics, "metrics", lambda rel: tables.setdefault("metrics", []).append(rel))
+    )
+
+    # The session-cache fold ALSO rides batch 2: localCheckpoint materializes
+    # the merged bloom NOW (its lineage runs through `classified`, which the
+    # finally block unpersists) and TRUNCATES the lineage — without truncation
+    # the cached plan would chain every prior wave's full pipeline
+    # (observe-name collisions immediately, analysis-time blowup at wave
+    # counts that matter). The fold work equals what the next wave's read path
+    # would otherwise pay, minus the base-bits parquet re-read; computing it
+    # is side-effect-free, so it runs BEFORE commit and is only REGISTERED
+    # (or discarded) depending on the commit outcome. Blocks are
+    # session-local: a lost executor fails the wave's gate job, and the rerun
+    # rebuilds the cache from the durable base+delta tables (resume semantics).
+    old_cache = getattr(wh, "_bloom_session_cache", None)
+    fold_needed = (
+        cfg.dedup_mode == "bloom"
+        and not (old_cache is not None and next_merged is old_cache["df"])
+    )
+    new_cache_df = None
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(pending) + 1) as ex:
+        futs = [
+            (ex.submit(wh.write_table, df, name, snap_id), setter)
+            for df, name, setter in pending
+        ]
+        f_fold = (
+            ex.submit(lambda: next_merged.localCheckpoint(eager=True))
+            if fold_needed
+            else None
+        )
+        for fut, setter in futs:
+            setter(fut.result())
+        if f_fold is not None:
+            new_cache_df = f_fold.result()
 
     manifest["next_sample_id"] = start_id + n_scheduled
+    committed = False
     try:
         wh.commit(manifest)  # may raise ConcurrentCommitError (loser of a race)
+        committed = True
         if cfg.dedup_mode == "bloom":
-            # Hand the merged bloom to the session cache. localCheckpoint
-            # materializes it NOW (its lineage runs through `classified`,
-            # which the finally block unpersists) and TRUNCATES the lineage —
-            # without truncation the cached plan would chain every prior
-            # wave's full pipeline (observe-name collisions immediately,
-            # analysis-time blowup at wave counts that matter). The fold work
-            # equals what the next wave's read path would otherwise pay, minus
-            # the base-bits parquet re-read. Blocks are session-local: a lost
-            # executor fails the wave's gate job, and the rerun rebuilds the
-            # cache from the durable base+delta tables (resume semantics).
-            old = getattr(wh, "_bloom_session_cache", None)
-            if old is not None and next_merged is old["df"]:
+            if not fold_needed:
                 # state unchanged this wave — re-key the existing cache
                 wh._bloom_session_cache = {"snap": manifest["snapshot_id"], "df": next_merged}
             else:
-                cached = next_merged.localCheckpoint(eager=True)
-                if next_merged.storageLevel != StorageLevel.NONE:
-                    next_merged.unpersist()
-                wh._bloom_session_cache = {"snap": manifest["snapshot_id"], "df": cached}
-                if old is not None:
-                    old["df"].unpersist()
+                wh._bloom_session_cache = {"snap": manifest["snapshot_id"], "df": new_cache_df}
+                if old_cache is not None:
+                    old_cache["df"].unpersist()
     finally:
+        if new_cache_df is not None and not committed:
+            new_cache_df.unpersist()  # commit lost the race — discard the fold
+        if fold_needed and next_merged.storageLevel != StorageLevel.NONE:
+            next_merged.unpersist()  # the pre-checkpoint persist (compaction path)
         cands.unpersist()
         gated.unpersist()
         classified.unpersist()
