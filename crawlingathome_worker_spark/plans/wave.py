@@ -174,19 +174,47 @@ def run_wave(
     # double-count every row. They run as a concurrent groupBy job instead.
     out = output_rows(classified).orderBy("sample_id")
 
-    # 7. state updates (lazy definitions; which ones are WRITTEN depends on mode)
+    # 7. state updates — the stage-B plans are CONSTRUCTED here, before any job
+    # is submitted: plan construction is driver-side Catalyst analysis (~0.4 s
+    # per wave at bench scale, measured with SPARK_GRAFT_WAVE_TIMING) and would
+    # otherwise sit on the critical path between the status gather and the
+    # stage-B submit. Which plans are actually WRITTEN is decided after the
+    # status counts arrive; unwritten plans are lazy and cost nothing.
     attempted = classified.select("pair_md5", "fetch_status")
+    if cfg.dedup_mode == "bloom":
+        will_compact = len(parsed_deltas) + 1 >= cfg.bloom_compact_every
+        # merged bits ∪ this wave's keys: the session-cache fold, and (at a
+        # compaction boundary) also the new base-bits table
+        plan_added = bloom_add(bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
+        if will_compact:
+            plan_added = plan_added.persist(StorageLevel.MEMORY_AND_DISK)
+        plan_delta = attempted.select("pair_md5").distinct()
+        if not cfg.reference_strict:
+            plan_cuckoo = cuckoo_update(
+                cuckoo,
+                inserts=attempted.filter(F.col("fetch_status") == "error").select("pair_md5"),
+                deletes=attempted.filter(F.col("fetch_status") != "error").select("pair_md5"),
+                params=cfg.cuckoo,
+            )
+    else:
+        plan_seen = seen_keys.unionByName(
+            attempted.select("pair_md5").distinct().withColumn("kind", F.lit("parsed"))
+        ).dropDuplicates(["pair_md5", "kind"])
+        if cfg.reference_strict:
+            plan_retry = retry_keys  # reference loses retries (B3) — keep state as-is
+        else:
+            plan_retry = (
+                retry_keys.unionByName(
+                    attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
+                )
+                .distinct()
+                .join(
+                    attempted.filter(F.col("fetch_status") != "error").select("pair_md5"),
+                    "pair_md5",
+                    "left_anti",
+                )
+            )
 
-    # 8. write tables — TWO parallel batches of independent actions submitted
-    # from driver threads (concurrent Spark jobs): at bench scale a committed
-    # wave is otherwise dominated by 4-6 small sequential jobs each paying the
-    # constant per-job latency. Batch 1 = frontier write + pairs_out write +
-    # status groupBy (the heavy materializations, overlapped). Batch 2 = the
-    # state writes, which need the status counts to decide what can be
-    # SKIPPED, and by then read pure cache. The deferred count rides an
-    # observe() on the frontier write, and candidates/unseen come from
-    # observe() nodes materialized by the same actions — lineage costs zero
-    # extra jobs unless collect_lineage is set.
     tables = manifest["tables"]
 
     obs_deferred = Observation("deferred")
@@ -200,187 +228,202 @@ def run_wave(
 
         return setter
 
-    def _run_writes(pending):
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(pending)) as ex:
-            futs = [
-                (ex.submit(wh.write_table, df, name, snap_id), setter)
-                for df, name, setter in pending
-            ]
-            for fut, setter in futs:
-                setter(fut.result())
-
-    # batch 1: the two heavy independent actions + the status-count groupBy,
-    # concurrent. All three share the persisted `classified`/`gated` frames:
-    # racing first-materialization at worst computes a partition twice into
-    # the same cache (values are deterministic), and the wall-clock win is the
-    # whole point — the per-job latency constants overlap instead of stacking.
+    # ONE pool, STAGED submission (concurrent Spark jobs from driver threads):
+    # at bench scale a committed wave is otherwise dominated by 5-7 small
+    # sequential jobs each paying a constant per-job latency. Stage A =
+    # frontier write + pairs_out write + status groupBy (the heavy
+    # materializations, overlapped; all three share the persisted
+    # `classified`/`gated` frames — racing first-materialization at worst
+    # computes a partition twice into the same cache, values deterministic).
+    # The state writes only need the STATUS COUNTS to decide what can be
+    # skipped, and status is the cheapest stage-A job (no sort, no file I/O):
+    # stage B (state writes + session-cache fold + lineage) is submitted into
+    # the SAME pool the moment status resolves, overlapping the pairs_out
+    # sort tail instead of serializing behind it. Stage C (metrics) further
+    # needs the observe() values carried by the frontier write.
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    with _TPE(max_workers=3) as ex:
-        f_frontier = ex.submit(wh.write_table, frontier_out, "frontier", snap_id)
-        f_out = ex.submit(wh.write_table, out, "pairs_out", snap_id)
-        f_status = ex.submit(
+    # optional phase profile (SPARK_GRAFT_WAVE_TIMING=1): stage wall seconds
+    # to stderr — the feedback loop for fixed-cost work (tools/profile_wave.py)
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("SPARK_GRAFT_WAVE_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _timed(label, fn):
+        """Profiling-only wrapper: per-job start offset + duration to stderr."""
+        if not _timing:
+            return fn
+
+        def wrapped(*a, **k):
+            s = _time.perf_counter()
+            r = fn(*a, **k)
+            e = _time.perf_counter()
+            print(
+                f"[wave-timing]   job {label}: start+{s - _t0:.3f}s dur={e - s:.3f}s",
+                file=_sys.stderr,
+            )
+            return r
+
+        return wrapped
+
+    ex = _TPE(max_workers=8)
+    try:
+        f_frontier = ex.submit(
+            _timed("frontier", wh.write_table), frontier_out, "frontier", snap_id
+        )
+        f_out = ex.submit(_timed("pairs_out", wh.write_table), out, "pairs_out", snap_id)
+        status_counts = ex.submit(
             lambda: {
                 r["fetch_status"]: r["count"]
                 for r in classified.groupBy("fetch_status").count().collect()
             }
-        )
-        tables["frontier"] = [f_frontier.result()]
-        tables.setdefault("pairs_out", []).append(f_out.result())
-        status_counts = f_status.result()
-    n_scheduled = sum(status_counts.values())
-    n_errors = status_counts.get("error", 0)
-    n_ok = status_counts.get("ok", 0)
+        ).result()
+        _t1 = _time.perf_counter()
+        n_scheduled = sum(status_counts.values())
+        n_errors = status_counts.get("error", 0)
+        n_ok = status_counts.get("ok", 0)
 
-    pending: list[tuple] = []  # batch 2: (DataFrame, table_name, setter(rel_path))
+        pending: list[tuple] = []  # batch 2: (DataFrame, table_name, setter(rel_path))
 
-    if cfg.dedup_mode == "bloom":
-        # J4: bloom-add ALL attempted keys to "parsed" (crawlingathome.py:148-154).
-        # Delta maintenance: this wave writes only its KEYS; the 24-GB-design-
-        # point bit table is only rewritten at compaction. The clipped bloom is
-        # owned by the downstream CLIP stage: its parent pointer is carried
-        # forward untouched (never copied). seen/retry key TABLES are exact-mode
-        # state and are not written at all in bloom mode.
-        if parent and parent["tables"].get("bloom_clipped"):
-            tables["bloom_clipped"] = list(parent["tables"]["bloom_clipped"])
-        next_merged = bloom_p  # what the session cache holds after this commit
-        if n_scheduled == 0:
-            # empty wave (e.g. drain with nothing scheduled): no keys to add —
-            # carry every parsed pointer forward untouched, write nothing
-            if parent and parent["tables"].get("bloom_parsed"):
-                tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
-            tables["bloom_parsed_delta"] = list(parsed_deltas)
-        elif len(parsed_deltas) + 1 >= cfg.bloom_compact_every:
-            new_base = bloom_add(bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5")
-            new_base = new_base.persist(StorageLevel.MEMORY_AND_DISK)
-            tables["bloom_parsed_delta"] = []
-            pending.append((new_base, "bloom_parsed", _set("bloom_parsed")))
-            next_merged = new_base  # the write materializes it
-        else:
-            if parent and parent["tables"].get("bloom_parsed"):
-                tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
-
-            def _append_delta(rel, base=list(parsed_deltas)):
-                tables["bloom_parsed_delta"] = base + [rel]
-
-            pending.append(
-                (attempted.select("pair_md5").distinct(), "bloom_parsed_delta", _append_delta)
-            )
-            next_merged = bloom_add(
-                bloom_p, attempted.select("pair_md5"), cfg.bloom, key="pair_md5"
-            )
-        # cuckoo: parent emptiness rides the manifest so waves that cannot
-        # change the table (no failures to insert, nothing to delete from an
-        # empty table, or nothing attempted at all) skip the rewrite entirely
-        # (VERDICT r2 item 2). Pre-field manifests with a cuckoo table are
-        # conservatively treated as non-empty.
-        parent_tables = (parent or {}).get("tables", {})
-        parent_cuckoo_nonempty = bool(
-            (parent or {}).get(
-                "cuckoo_nonempty", bool(parent_tables.get("cuckoo_state"))
-            )
-        )
-        if cfg.reference_strict:
-            if parent and parent_tables.get("cuckoo_state"):
-                tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
+        if cfg.dedup_mode == "bloom":
+            # J4: bloom-add ALL attempted keys to "parsed" (crawlingathome.py:148-154).
+            # Delta maintenance: this wave writes only its KEYS; the 24-GB-design-
+            # point bit table is only rewritten at compaction. The clipped bloom is
+            # owned by the downstream CLIP stage: its parent pointer is carried
+            # forward untouched (never copied). seen/retry key TABLES are exact-mode
+            # state and are not written at all in bloom mode.
+            if parent and parent["tables"].get("bloom_clipped"):
+                tables["bloom_clipped"] = list(parent["tables"]["bloom_clipped"])
+            next_merged = bloom_p  # what the session cache holds after this commit
+            if n_scheduled == 0:
+                # empty wave (e.g. drain with nothing scheduled): no keys to add —
+                # carry every parsed pointer forward untouched, write nothing
+                if parent and parent["tables"].get("bloom_parsed"):
+                    tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
+                tables["bloom_parsed_delta"] = list(parsed_deltas)
+                if will_compact:
+                    plan_added.unpersist()  # speculative persist, never written
+            elif will_compact:
+                tables["bloom_parsed_delta"] = []
+                pending.append((plan_added, "bloom_parsed", _set("bloom_parsed")))
+                next_merged = plan_added  # the write materializes it
             else:
-                pending.append((cuckoo, "cuckoo_state", _set("cuckoo_state")))
-            manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
-        elif n_scheduled == 0 or (n_errors == 0 and not parent_cuckoo_nonempty):
-            if parent and parent_tables.get("cuckoo_state"):
-                tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
-            manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
-        else:
-            failures_k = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
-            resolved_k = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
-            new_cuckoo = cuckoo_update(
-                cuckoo, inserts=failures_k, deletes=resolved_k, params=cfg.cuckoo
+                if parent and parent["tables"].get("bloom_parsed"):
+                    tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
+
+                def _append_delta(rel, base=list(parsed_deltas)):
+                    tables["bloom_parsed_delta"] = base + [rel]
+
+                pending.append((plan_delta, "bloom_parsed_delta", _append_delta))
+                next_merged = plan_added
+            # cuckoo: parent emptiness rides the manifest so waves that cannot
+            # change the table (no failures to insert, nothing to delete from an
+            # empty table, or nothing attempted at all) skip the rewrite entirely
+            # (VERDICT r2 item 2). Pre-field manifests with a cuckoo table are
+            # conservatively treated as non-empty.
+            parent_tables = (parent or {}).get("tables", {})
+            parent_cuckoo_nonempty = bool(
+                (parent or {}).get(
+                    "cuckoo_nonempty", bool(parent_tables.get("cuckoo_state"))
+                )
             )
-            pending.append((new_cuckoo, "cuckoo_state", _set("cuckoo_state")))
-            # deletions may have emptied it, but claiming non-empty is safe
-            # (costs at most one later rewrite, never a wrong gate)
-            manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty or n_errors > 0
-    else:
-        new_seen = seen_keys.unionByName(
-            attempted.select("pair_md5").distinct().withColumn("kind", F.lit("parsed"))
-        ).dropDuplicates(["pair_md5", "kind"])
-        if cfg.reference_strict:
-            new_retry = retry_keys  # reference loses retries (B3) — keep state as-is
+            if cfg.reference_strict:
+                if parent and parent_tables.get("cuckoo_state"):
+                    tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
+                else:
+                    pending.append((cuckoo, "cuckoo_state", _set("cuckoo_state")))
+                manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
+            elif n_scheduled == 0 or (n_errors == 0 and not parent_cuckoo_nonempty):
+                if parent and parent_tables.get("cuckoo_state"):
+                    tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
+                manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
+            else:
+                pending.append((plan_cuckoo, "cuckoo_state", _set("cuckoo_state")))
+                # deletions may have emptied it, but claiming non-empty is safe
+                # (costs at most one later rewrite, never a wrong gate)
+                manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty or n_errors > 0
         else:
-            failures = attempted.filter(F.col("fetch_status") == "error").select("pair_md5")
-            resolved = attempted.filter(F.col("fetch_status") != "error").select("pair_md5")
-            new_retry = (
-                retry_keys.unionByName(failures).distinct().join(resolved, "pair_md5", "left_anti")
-            )
-        pending.append((new_seen, "seen_keys", _set("seen_keys")))
-        pending.append((new_retry, "retry_keys", _set("retry_keys")))
+            pending.append((plan_seen, "seen_keys", _set("seen_keys")))
+            pending.append((plan_retry, "retry_keys", _set("retry_keys")))
 
-    # 9. lineage + counters (A1, north_rule per-partition granularity);
-    # statuses came from the batch-1 groupBy over the persisted classified frame.
-    counters = {
-        "candidates": _obs_count(obs_cands, cands),
-        "unseen": _obs_count(obs_unseen, unseen),
-        "scheduled": n_scheduled,
-        "deferred": _obs_count(obs_deferred, deferred),
-        "fetched_ok": n_ok,
-        "rejected": n_scheduled - n_ok - n_errors,
-        "errors": n_errors,
-    }
-    manifest["counters"] = counters
-    if collect_lineage:
-        manifest["lineage"] = {
-            "scheduled": _lineage(scheduled),
-            "output": _lineage(out),
-        }
-
-    # metrics table: totals (partition_id = -1) + per-partition lineage rows
-    # (north_rule: per-partition fetched/filtered/rejected counters) — joins
-    # batch 2 (counters are known once batch 1 finished)
-    metric_rows = [(wave_no, k, -1, int(v)) for k, v in counters.items()]
-    for stage, parts in manifest.get("lineage", {}).items():
-        metric_rows += [(wave_no, stage, p["partition_id"], p["n"]) for p in parts]
-    metrics = spark.createDataFrame(
-        metric_rows, "wave_no int, counter string, partition_id int, value long"
-    )
-    pending.append(
-        (metrics, "metrics", lambda rel: tables.setdefault("metrics", []).append(rel))
-    )
-
-    # The session-cache fold ALSO rides batch 2: localCheckpoint materializes
-    # the merged bloom NOW (its lineage runs through `classified`, which the
-    # finally block unpersists) and TRUNCATES the lineage — without truncation
-    # the cached plan would chain every prior wave's full pipeline
-    # (observe-name collisions immediately, analysis-time blowup at wave
-    # counts that matter). The fold work equals what the next wave's read path
-    # would otherwise pay, minus the base-bits parquet re-read; computing it
-    # is side-effect-free, so it runs BEFORE commit and is only REGISTERED
-    # (or discarded) depending on the commit outcome. Blocks are
-    # session-local: a lost executor fails the wave's gate job, and the rerun
-    # rebuilds the cache from the durable base+delta tables (resume semantics).
-    old_cache = getattr(wh, "_bloom_session_cache", None)
-    fold_needed = (
-        cfg.dedup_mode == "bloom"
-        and not (old_cache is not None and next_merged is old_cache["df"])
-    )
-    new_cache_df = None
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(pending) + 1) as ex:
-        futs = [
-            (ex.submit(wh.write_table, df, name, snap_id), setter)
+        # stage B: state writes + session-cache fold + lineage, submitted NOW
+        # (frontier/pairs_out still running — they overlap).
+        #
+        # The session-cache fold: localCheckpoint materializes the merged
+        # bloom (its lineage runs through `classified`, which the finally
+        # block unpersists) and TRUNCATES the lineage — without truncation the
+        # cached plan would chain every prior wave's full pipeline
+        # (observe-name collisions immediately, analysis-time blowup at wave
+        # counts that matter). The fold work equals what the next wave's read
+        # path would otherwise pay, minus the base-bits parquet re-read;
+        # computing it is side-effect-free, so it runs BEFORE commit and is
+        # only REGISTERED (or discarded) depending on the commit outcome.
+        # Blocks are session-local: a lost executor fails the wave's gate job,
+        # and the rerun rebuilds the cache from the durable base+delta tables
+        # (resume semantics).
+        old_cache = getattr(wh, "_bloom_session_cache", None)
+        fold_needed = cfg.dedup_mode == "bloom" and not (
+            old_cache is not None and next_merged is old_cache["df"]
+        )
+        state_futs = [
+            (ex.submit(_timed(name, wh.write_table), df, name, snap_id), setter)
             for df, name, setter in pending
         ]
         f_fold = (
-            ex.submit(lambda: next_merged.localCheckpoint(eager=True))
+            ex.submit(_timed("bloom_fold", lambda: next_merged.localCheckpoint(eager=True)))
             if fold_needed
             else None
         )
-        for fut, setter in futs:
+        f_lin = (
+            (ex.submit(_lineage, scheduled), ex.submit(_lineage, out))
+            if collect_lineage
+            else None
+        )
+
+        # 9. counters (A1, north_rule per-partition granularity): statuses came
+        # from the stage-A groupBy; deferred rides the frontier write's
+        # observe(), so gather that first. candidates/unseen observe() nodes
+        # materialized under whichever stage-A job won the cache race.
+        tables["frontier"] = [f_frontier.result()]
+        counters = {
+            "candidates": _obs_count(obs_cands, cands),
+            "unseen": _obs_count(obs_unseen, unseen),
+            "scheduled": n_scheduled,
+            "deferred": _obs_count(obs_deferred, deferred),
+            "fetched_ok": n_ok,
+            "rejected": n_scheduled - n_ok - n_errors,
+            "errors": n_errors,
+        }
+        manifest["counters"] = counters
+        if f_lin is not None:
+            manifest["lineage"] = {
+                "scheduled": f_lin[0].result(),
+                "output": f_lin[1].result(),
+            }
+
+        # stage C — metrics table: totals (partition_id = -1) + per-partition
+        # lineage rows (north_rule: per-partition fetched/filtered/rejected
+        # counters); needs the gathered counters, overlaps the remaining tail
+        metric_rows = [(wave_no, k, -1, int(v)) for k, v in counters.items()]
+        for stage, parts in manifest.get("lineage", {}).items():
+            metric_rows += [(wave_no, stage, p["partition_id"], p["n"]) for p in parts]
+        metrics = spark.createDataFrame(
+            metric_rows, "wave_no int, counter string, partition_id int, value long"
+        )
+        f_metrics = ex.submit(_timed("metrics", wh.write_table), metrics, "metrics", snap_id)
+
+        # gather everything
+        tables.setdefault("pairs_out", []).append(f_out.result())
+        for fut, setter in state_futs:
             setter(fut.result())
-        if f_fold is not None:
-            new_cache_df = f_fold.result()
+        tables.setdefault("metrics", []).append(f_metrics.result())
+        new_cache_df = f_fold.result() if f_fold is not None else None
+    finally:
+        ex.shutdown(wait=True)
+    _t2 = _time.perf_counter()
 
     manifest["next_sample_id"] = start_id + n_scheduled
     committed = False
@@ -404,4 +447,11 @@ def run_wave(
         gated.unpersist()
         classified.unpersist()
         unpersist_sample_ids(scheduled)
+    if _timing:
+        _t3 = _time.perf_counter()
+        print(
+            f"[wave-timing] wave={wave_no} stageA_status={_t1 - _t0:.3f}s"
+            f" writes={_t2 - _t1:.3f}s commit={_t3 - _t2:.3f}s",
+            file=_sys.stderr,
+        )
     return manifest
