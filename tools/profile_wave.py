@@ -1,9 +1,10 @@
 """Phase profile of the committed bloom wave (the bench's hot metric).
 
 Replicates bench.py's committed-wave loop (disjoint page_id shards, wave 1
-untimed) with SPARK_GRAFT_WAVE_TIMING=1 so run_wave prints per-phase wall
-times (batch1 = frontier+pairs_out+status jobs; batch2 = state writes +
-metrics + session-cache fold; commit = manifest link). Use this to decide
+untimed) with SPARK_GRAFT_WAVE_TIMING=1 so run_wave prints per-stage AND
+per-job wall times (stage A = frontier+pairs_out+status jobs; stage B = state
+writes + metrics + session-cache fold + lineage, submitted once status
+resolves; commit = manifest link). Use this to decide
 whether the remaining committed-vs-uncommitted delta is worth engineering.
 
   python tools/profile_wave.py [fixture_scale]
