@@ -53,7 +53,7 @@ def hamming64(a: int, b: int) -> int:
 
 def image_feature(img: np.ndarray) -> np.ndarray:
     """Deterministic 64-d image feature: 8×8 grid of grayscale block means,
-    L2-normalized. Used by the CLIP-proxy scorer (real CLIP is a GPU model the
+    mean-centered, L2-normalized. Used by the CLIP-proxy scorer (real CLIP is a GPU model the
     reference project ran in a separate worker — README.md:8; here the *dataflow*
     is real and the embedding is a stub)."""
     g = _resize_gray(img)  # 32×32
