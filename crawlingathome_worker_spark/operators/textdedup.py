@@ -123,6 +123,14 @@ def minhash_lsh_pairs(
     if num_perm is None:
         num_perm = len(sigs.select("sig").first()["sig"])
     rows_per_band = num_perm // bands
+    # Both self-join sides are the IDENTICAL banded plan, so ReuseExchange
+    # serves the second side from the first's shuffle — the signature UDF runs
+    # ONCE over the corpus. (An ids-only band join with signature rejoin on
+    # the candidates was measured SLOWER here: the two rejoin exchanges break
+    # exchange reuse and the UDF runs 3×.) The Jaccard estimate is computed in
+    # the join projection so the duplicate-pair collapse downstream shuffles
+    # three scalars per THRESHOLD-SURVIVING candidate instead of two
+    # num_perm-long arrays per raw banded match.
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -137,7 +145,15 @@ def minhash_lsh_pairs(
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_perm)
+    ).alias("est_jaccard")
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -147,20 +163,11 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            est,
         )
+        .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = (
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(num_perm)
-    ).alias("est_jaccard")
-    return pairs.select("doc_a", "doc_b", est).filter(F.col("est_jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
