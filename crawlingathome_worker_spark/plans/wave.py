@@ -51,6 +51,18 @@ def _obs_count(obs: Observation, df: DataFrame) -> int:
         return df.count()
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed frame's blocks. DataFrame.unpersist() only
+    clears the CacheManager entry; the checkpoint RDD is persisted at the RDD
+    level (outside the CacheManager) and stays resident until released through
+    the LogicalRDD plan node — without this, the session bloom cache leaked
+    one checkpointed RDD's blocks per committed wave (tests/test_soak.py)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # already released / plan shape changed — never fail a wave on cleanup
+
+
 def _lineage(df: DataFrame) -> list[dict]:
     rows = (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -437,10 +449,10 @@ def run_wave(
             else:
                 wh._bloom_session_cache = {"snap": manifest["snapshot_id"], "df": new_cache_df}
                 if old_cache is not None:
-                    old_cache["df"].unpersist()
+                    _release_checkpoint(old_cache["df"])
     finally:
         if new_cache_df is not None and not committed:
-            new_cache_df.unpersist()  # commit lost the race — discard the fold
+            _release_checkpoint(new_cache_df)  # commit lost the race — discard the fold
         if fold_needed and next_merged.storageLevel != StorageLevel.NONE:
             next_merged.unpersist()  # the pre-checkpoint persist (compaction path)
         cands.unpersist()

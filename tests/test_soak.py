@@ -1,0 +1,68 @@
+"""Many-wave soak: the committed loop must not accumulate session state.
+
+The wave plan persists several frames per wave (cands/gated/classified, the
+sample-id cache, the session bloom cache) and round 3 moved all writes into a
+staged thread pool — this test pins that after EVERY committed wave the only
+surviving persisted entity is the single session bloom cache, so a frontier
+session running thousands of waves (the production shape,
+crawlingathome.py:210-265's infinite loop) holds executor memory constant.
+Also asserts sample-id continuity and candidate-conservation across the loop,
+which would catch a racing stage-B write corrupting state tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlingathome_worker_spark.config import EngineConfig
+from crawlingathome_worker_spark.plans.wave import run_wave
+from crawlingathome_worker_spark.state.snapshots import Warehouse
+
+N_WAVES = 8
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_many_wave_loop_holds_state_constant(spark, fx_dir, tmp_path_factory):
+    wh = Warehouse(str(tmp_path_factory.mktemp("soak_wh")))
+    cfg = EngineConfig(default_host_budget=5, wave_seconds=0.0, dedup_mode="bloom")
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+
+    base = _n_persistent_rdds(spark)
+    manifests = []
+    for w in range(N_WAVES):
+        shard = links.filter(F.col("page_id") % N_WAVES == w)
+        m = run_wave(
+            spark, wh, cfg, pairs, robots, shard,
+            collect_lineage=(w % 2 == 0),  # exercise both lineage paths
+            shard_key=f"soak-{w}",
+        )
+        manifests.append(m)
+        # ≤ base + 1: the session bloom cache is the ONE allowed survivor
+        # (localCheckpointed blocks register as a persistent RDD); everything
+        # else the wave persisted must be gone before it returns
+        n = _n_persistent_rdds(spark)
+        assert n <= base + 1, f"wave {w + 1}: {n} persistent RDDs (base {base})"
+
+    # sample ids are contiguous across the whole loop
+    next_id = 0
+    for m in manifests:
+        assert m["next_sample_id"] == next_id + m["counters"]["scheduled"]
+        next_id = m["next_sample_id"]
+
+    # conservation per wave: everything unseen is scheduled, deferred, or
+    # dropped by the robots gate (which sits between the two counters)
+    for m in manifests:
+        c = m["counters"]
+        assert c["scheduled"] + c["deferred"] <= c["unseen"]
+        assert c["fetched_ok"] + c["rejected"] + c["errors"] == c["scheduled"]
+
+    # pairs_out accumulated exactly the scheduled-ok rows, none lost or doubled
+    total_ok = sum(m["counters"]["fetched_ok"] for m in manifests)
+    out = wh.read_table(spark, manifests[-1], "pairs_out")
+    assert out.count() == total_ok
+    assert out.select("sample_id").distinct().count() == total_ok
