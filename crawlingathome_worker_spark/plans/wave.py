@@ -433,6 +433,25 @@ def run_wave(
             setter(fut.result())
         tables.setdefault("metrics", []).append(f_metrics.result())
         new_cache_df = f_fold.result() if f_fold is not None else None
+    except BaseException:
+        # FAILED wave: the commit-path finally below never runs, so release
+        # here everything it would have — the wave's persisted frames, the
+        # speculative compaction persist, and a fold checkpoint if that job
+        # got far enough to produce one (shutdown below waits it out first).
+        ex.shutdown(wait=True)
+        _f = locals().get("f_fold")
+        if _f is not None:
+            try:
+                _release_checkpoint(_f.result())
+            except Exception:
+                pass
+        _nm = locals().get("next_merged")
+        if _nm is not None and _nm.storageLevel != StorageLevel.NONE:
+            _nm.unpersist()
+        for _df in (cands, gated, classified):
+            _df.unpersist()
+        unpersist_sample_ids(scheduled)
+        raise
     finally:
         ex.shutdown(wait=True)
     _t2 = _time.perf_counter()

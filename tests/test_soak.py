@@ -66,3 +66,41 @@ def test_many_wave_loop_holds_state_constant(spark, fx_dir, tmp_path_factory):
     out = wh.read_table(spark, manifests[-1], "pairs_out")
     assert out.count() == total_ok
     assert out.select("sample_id").distinct().count() == total_ok
+
+
+def test_failed_wave_releases_all_state(spark, fx_dir, tmp_path_factory):
+    """A wave that dies mid-write must not strand persisted frames or a fold
+    checkpoint (the commit-path cleanup never runs on that path)."""
+    wh = Warehouse(str(tmp_path_factory.mktemp("fail_wh")))
+    cfg = EngineConfig(default_host_budget=5, wave_seconds=0.0, dedup_mode="bloom")
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet").filter(F.col("page_id") < 100)
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+
+    # wave 1 commits normally and establishes the session cache
+    run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False, shard_key="a")
+    base = _n_persistent_rdds(spark)
+
+    real_write = wh.write_table
+
+    def failing_write(df, name, snap_id):
+        if name == "metrics":
+            raise RuntimeError("injected write failure")
+        return real_write(df, name, snap_id)
+
+    wh.write_table = failing_write
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected"):
+            run_wave(
+                spark, wh, cfg, pairs, robots,
+                links.limit(0), collect_lineage=False, shard_key="b",
+            )
+    finally:
+        wh.write_table = real_write
+
+    assert _n_persistent_rdds(spark) == base
+    # and the warehouse still works: the next wave commits fine
+    m = run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False, shard_key="c")
+    assert m["wave_no"] == 2
