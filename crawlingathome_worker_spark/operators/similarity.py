@@ -389,20 +389,16 @@ def knn_self_join(
         )
         banded = banded.join(dense, ["band", "sig"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("va"),
-            F.col(f"r.{vec_col}").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.sig") == F.col("r.sig"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col(f"l.{vec_col}").alias("va"),
+        F.col(f"r.{vec_col}").alias("vb"),
     )
 
     @F.pandas_udf(DoubleType())
@@ -417,10 +413,16 @@ def knn_self_join(
         nb[nb == 0] = 1.0
         return pd.Series(np.einsum("ij,ij->i", a, b) / (na * nb))
 
+    # cosine BEFORE the duplicate-pair collapse (a pair colliding in k of the
+    # n_tables bands is scored k times — vectorized numpy, cheap), so the
+    # dedup shuffles three scalars per threshold-surviving candidate instead
+    # of two dim-float vectors per raw banded match; identical evaluations
+    # produce identical cosines, so which duplicate survives is immaterial.
     out = (
         cand.withColumn("cosine", pair_cos("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )
     out._banded_cache = banded_cache
     _BANDED_CACHES.append(banded_cache)
