@@ -354,8 +354,15 @@ def q25_embedding_norms(spark, sf_dir):
 
 def q26_embedding_neardup(spark, sf_dir):
     """Banded multi-table LSH near-dup pairs (bounded buckets — the scale path)."""
-    from crawlingathome_worker_spark.operators.similarity import knn_self_join
+    from crawlingathome_worker_spark.operators.similarity import (
+        knn_self_join,
+        release_knn_caches,
+    )
 
+    # prior invocations' banded caches are safe to drop by now (their results
+    # were collected before this call) — without this, a long-running driver
+    # session accumulates one persisted banded frame per knn_self_join call
+    release_knn_caches()
     e = _t(spark, sf_dir, "embeddings")
     out = knn_self_join(e, threshold=0.4, n_tables=4, bits_per_table=6, dim=64)
     return out.select("id_a", "id_b", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))

@@ -177,9 +177,15 @@ def run_headline() -> dict:
             committed.append(time.perf_counter() - t0)
             assert m["counters"]["scheduled"] > 0  # timed waves must do real work
         per_q["wave_committed_bloom"] = round(min(committed), 3)
-        # commit overhead ratio (the VERDICT r2 done-criterion): committed wave
-        # vs an UNCOMMITTED wave over the SAME quarter shard — isolates the
-        # warehouse round-trip + state maintenance from the pipeline work
+        # commit overhead ratio: committed wave vs an UNCOMMITTED stateless
+        # wave over ONE quarter shard. This is an UPPER BOUND on warehouse
+        # round-trip cost, not an isolation of it: the committed numerator
+        # also pays real per-wave work the stateless denominator has no
+        # analog for (frontier-merge dedup window over accumulated deferred
+        # rows — the committed waves carry 3-4x the candidate volume — and
+        # the fused seen-gate cogroup against grown bloom/cuckoo state).
+        # The per-stage decomposition in BENCH/BASELINE.md (profile_wave)
+        # is the precise accounting.
         plain = []
         for _ in range(3):
             sec, _c = _wave_bench(

@@ -289,9 +289,20 @@ def refresh_ivf_store(
     reindex); composed here like compact_appends: read → retrain → rewrite →
     swap. The swap is write-to-sibling + two renames — on Iceberg this whole
     op is `rewrite_data_files` with a new partition spec, atomic at the
-    snapshot commit. Returns the new centroids (the store's query codebook)."""
+    snapshot commit. Returns the new centroids (the store's query codebook).
+
+    Crash safety: the two renames are not atomic together — a crash between
+    them leaves the store at `.refresh-old` and nothing at `path`. The next
+    refresh (or any caller running this first) self-heals by renaming the
+    old store back before proceeding; stale `.refresh-tmp` is always
+    discarded (it may be a partial write)."""
     import os
     import shutil
+
+    tmp = path.rstrip("/") + ".refresh-tmp"
+    old = path.rstrip("/") + ".refresh-old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # recover from a crash between the two renames
 
     stored = spark.read.parquet(path)
     if "ivf_cell" in stored.columns:
@@ -306,8 +317,6 @@ def refresh_ivf_store(
         max_train_rows=max_train_rows,
         order_col=id_col,
     )
-    tmp = path.rstrip("/") + ".refresh-tmp"
-    old = path.rstrip("/") + ".refresh-old"
     shutil.rmtree(tmp, ignore_errors=True)
     write_ivf_partitioned(stored, cents, tmp, vec_col)
     shutil.rmtree(old, ignore_errors=True)

@@ -247,6 +247,15 @@ def run_wave(
     # materializations, overlapped; all three share the persisted
     # `classified`/`gated` frames — racing first-materialization at worst
     # computes a partition twice into the same cache, values deterministic).
+    #
+    # Observation exactness under the race: obs_cands/obs_unseen sit BELOW
+    # cache boundaries, so in principle racing queries could split partition
+    # attribution across their CollectMetrics accumulators. Measured on this
+    # Spark version (3 heterogeneous concurrent actions over a cold persisted
+    # observed frame, 6/6 trials exact) the cache's per-partition compute
+    # locking keeps the latched observation exact; _obs_count's count()
+    # fallback and the e2e counters-equality tests (engine ≡ oracle, every
+    # run) guard the assumption against a future Spark changing attribution.
     # The state writes only need the STATUS COUNTS to decide what can be
     # skipped, and status is the cheapest stage-A job (no sort, no file I/O):
     # stage B (state writes + session-cache fold + lineage) is submitted into
@@ -264,19 +273,26 @@ def run_wave(
     _timing = _os.environ.get("SPARK_GRAFT_WAVE_TIMING") == "1"
     _t0 = _time.perf_counter()
 
+    # Every pool job runs under this wave's job group so a failed/interrupted
+    # wave can cancel its in-flight sibling jobs instead of blocking until
+    # they drain (Spark job groups are thread-local — each pool thread must
+    # set it before running its action).
+    _job_group = f"wave-{snap_id}"
+
     def _timed(label, fn):
-        """Profiling-only wrapper: per-job start offset + duration to stderr."""
-        if not _timing:
-            return fn
+        """Pool-job wrapper: tags the thread with the wave's job group; with
+        SPARK_GRAFT_WAVE_TIMING=1 also prints per-job start offset + duration."""
 
         def wrapped(*a, **k):
+            spark.sparkContext.setJobGroup(_job_group, f"wave {wave_no}: {label}")
             s = _time.perf_counter()
             r = fn(*a, **k)
-            e = _time.perf_counter()
-            print(
-                f"[wave-timing]   job {label}: start+{s - _t0:.3f}s dur={e - s:.3f}s",
-                file=_sys.stderr,
-            )
+            if _timing:
+                e = _time.perf_counter()
+                print(
+                    f"[wave-timing]   job {label}: start+{s - _t0:.3f}s dur={e - s:.3f}s",
+                    file=_sys.stderr,
+                )
             return r
 
         return wrapped
@@ -288,10 +304,13 @@ def run_wave(
         )
         f_out = ex.submit(_timed("pairs_out", wh.write_table), out, "pairs_out", snap_id)
         status_counts = ex.submit(
-            lambda: {
-                r["fetch_status"]: r["count"]
-                for r in classified.groupBy("fetch_status").count().collect()
-            }
+            _timed(
+                "status",
+                lambda: {
+                    r["fetch_status"]: r["count"]
+                    for r in classified.groupBy("fetch_status").count().collect()
+                },
+            )
         ).result()
         _t1 = _time.perf_counter()
         n_scheduled = sum(status_counts.values())
@@ -390,7 +409,10 @@ def run_wave(
             else None
         )
         f_lin = (
-            (ex.submit(_lineage, scheduled), ex.submit(_lineage, out))
+            (
+                ex.submit(_timed("lineage_sched", _lineage), scheduled),
+                ex.submit(_timed("lineage_out", _lineage), out),
+            )
             if collect_lineage
             else None
         )
@@ -434,20 +456,28 @@ def run_wave(
         tables.setdefault("metrics", []).append(f_metrics.result())
         new_cache_df = f_fold.result() if f_fold is not None else None
     except BaseException:
-        # FAILED wave: the commit-path finally below never runs, so release
-        # here everything it would have — the wave's persisted frames, the
-        # speculative compaction persist, and a fold checkpoint if that job
-        # got far enough to produce one (shutdown below waits it out first).
-        ex.shutdown(wait=True)
+        # FAILED (or interrupted) wave: cancel this wave's in-flight sibling
+        # jobs — without the cancel, shutdown(wait=True) blocks until every
+        # running write drains (minutes at scale) before the error/Ctrl-C
+        # propagates. Then release everything the commit-path finally below
+        # would have — the wave's persisted frames, the speculative compaction
+        # persist, and a fold checkpoint if that job got far enough.
+        try:
+            spark.sparkContext.cancelJobGroup(_job_group)
+        except Exception:
+            pass
+        ex.shutdown(wait=True, cancel_futures=True)
         _f = locals().get("f_fold")
         if _f is not None:
             try:
                 _release_checkpoint(_f.result())
             except Exception:
                 pass
-        _nm = locals().get("next_merged")
-        if _nm is not None and _nm.storageLevel != StorageLevel.NONE:
-            _nm.unpersist()
+        if cfg.dedup_mode == "bloom" and will_compact:
+            # plan_added is persisted at plan-construction time, BEFORE the
+            # pool — next_merged may not be bound yet, so release it directly
+            if plan_added.storageLevel != StorageLevel.NONE:
+                plan_added.unpersist()
         for _df in (cands, gated, classified):
             _df.unpersist()
         unpersist_sample_ids(scheduled)

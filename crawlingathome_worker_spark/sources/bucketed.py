@@ -75,8 +75,11 @@ def ensure_bucketed_pairs(
         src_mtime = None  # non-local path (hdfs/s3) — fall back to existence check
     want = {"source": pairs_path, "mtime": src_mtime, "buckets": buckets}
     if not force and spark.catalog.tableExists(table) and os.path.exists(marker):
-        with open(marker) as f:
-            have = json.load(f)
+        try:
+            with open(marker) as f:
+                have = json.load(f)
+        except (ValueError, OSError):
+            have = None  # torn marker from a crashed writer — treat as stale, re-ingest
         if have == want:
             return spark.table(table)
     write_bucketed_pairs(spark.read.parquet(pairs_path), table=table, buckets=buckets)

@@ -345,21 +345,38 @@ def test_bloom_session_cache_and_cuckoo_skip(spark, fx_dir, tmp_path):
         m1["counters"]["errors"] + m2["counters"]["errors"] + m3_cached["counters"]["errors"]
     )
     latest = wh.latest()
-    if errors_so_far == 0:
-        assert not latest.get("cuckoo_nonempty", False)
-    m4 = run_wave(spark, wh, cfg, pairs, robots, None, collect_lineage=False)  # drain
-    if m4["counters"]["scheduled"] == 0:
-        assert m4["tables"].get("cuckoo_state", []) == latest["tables"].get("cuckoo_state", [])
-        assert m4["tables"].get("bloom_parsed_delta", []) == latest["tables"].get(
-            "bloom_parsed_delta", []
-        )
+    # nonempty iff some error was ever inserted (monotone claim — deletions
+    # may empty the table but never clear the flag); asserted as an
+    # equivalence so it can't silently skip on this fixture's error mix
+    assert bool(latest.get("cuckoo_nonempty", False)) == (errors_so_far > 0)
+    # a regular drain trickles (crawl_delay budgets are ~1/host/wave), so
+    # FLUSH the frontier with an unbounded-budget drain first; the next drain
+    # then has a provably empty frontier — asserted as preconditions so the
+    # pointer-carry checks below can never be skipped silently (they had
+    # been: the single drain scheduled 14 rows on this fixture and the old
+    # `if scheduled == 0:` guard just skipped the body)
+    import dataclasses
+
+    cfg_flush = dataclasses.replace(cfg, wave_seconds=1e9)
+    m4 = run_wave(spark, wh, cfg, pairs, robots, None, collect_lineage=False)
+    m5 = run_wave(spark, wh, cfg_flush, pairs, robots, None, collect_lineage=False)
+    assert m5["counters"]["deferred"] == 0
+    m6 = run_wave(spark, wh, cfg, pairs, robots, None, collect_lineage=False)
+    assert m6["counters"]["scheduled"] == 0
+    assert m6["tables"].get("cuckoo_state", []) == m5["tables"].get("cuckoo_state", [])
+    assert m6["tables"].get("bloom_parsed_delta", []) == m5["tables"].get(
+        "bloom_parsed_delta", []
+    )
 
     # bloom ≡ exact equivalence with the cache engaged end-to-end (same wave
-    # sequence on both warehouses, including the drain)
+    # sequence on both warehouses, including all three drains)
     cfg_e = EngineConfig(default_host_budget=100_000, wave_seconds=0.0, dedup_mode="exact")
+    cfg_e_flush = dataclasses.replace(cfg_e, wave_seconds=1e9)
     wh_e = Warehouse(str(tmp_path / "wh_exact"))
     for s in shards:
         run_wave(spark, wh_e, cfg_e, pairs, robots, s, collect_lineage=False)
+    run_wave(spark, wh_e, cfg_e, pairs, robots, None, collect_lineage=False)
+    run_wave(spark, wh_e, cfg_e_flush, pairs, robots, None, collect_lineage=False)
     run_wave(spark, wh_e, cfg_e, pairs, robots, None, collect_lineage=False)
     out_b = {
         (r["sample_id"], r["url"])
