@@ -115,3 +115,20 @@ def test_wave_fetch_join_no_exchange_on_bucketed_pairs(spark, fx_dir):
     n_p = plan_p.count("Exchange hashpartitioning(image_id")
     assert n_b == 1, f"bucketed join should shuffle only the scheduled side, got {n_b}"
     assert n_p == 2, f"plain join should shuffle both sides, got {n_p}"
+
+
+def test_torn_marker_self_heals(spark, fx_dir):
+    """A crash mid-marker-write leaves partial JSON; the next call must treat
+    it as stale and re-ingest instead of raising JSONDecodeError forever."""
+    src = os.path.join(fx_dir, "pairs.parquet")
+    ensure_bucketed_pairs(spark, src, table="pairs_bucketed_torn", buckets=4)
+    tdir = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    marker = os.path.join(tdir, "pairs_bucketed_torn", "_bucketed_ingest.json")
+    with open(marker, "w") as f:
+        f.write('{"source"')  # torn write
+    df = ensure_bucketed_pairs(spark, src, table="pairs_bucketed_torn", buckets=4)
+    assert df.count() == spark.read.parquet(src).count()
+    import json
+
+    with open(marker) as f:
+        assert json.load(f)["buckets"] == 4  # marker rewritten whole

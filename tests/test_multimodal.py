@@ -176,3 +176,33 @@ def test_ivf_store_refresh_on_drifted_data(spark, tmp_path):
     assert len(want & got) >= 9  # recall restored on the drifted region
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_refresh_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash between refresh_ivf_store's two renames leaves the store at
+    .refresh-old and nothing at `path`; the next refresh must restore and
+    proceed rather than fail path-not-found."""
+    import os
+
+    from crawlingathome_worker_spark.operators.similarity import (
+        ivf_topk_pruned,
+        refresh_ivf_store,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    vecs = rng.standard_normal((100, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_ivf_centroids(df, n_cells=2, iters=10)
+    path = str(tmp_path / "emb_ivf_crash")
+    write_ivf_partitioned(df, cents, path)
+
+    os.rename(path, path + ".refresh-old")  # simulate death between the renames
+    fresh = refresh_ivf_store(spark, path, n_cells=2, iters=10)
+    assert not os.path.exists(path + ".refresh-old")  # swap completed
+    got = ivf_topk_pruned(spark, path, fresh, vecs[7], k=5, n_probe=2)
+    assert got.count() == 5
