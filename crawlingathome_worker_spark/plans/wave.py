@@ -133,8 +133,8 @@ def run_wave(
         # would be an OOM before the first wave ran. State stays sparse:
         # partitions materialize on first write.
         no_state = spark.createDataFrame([], BLOOM_STATE_SCHEMA)
-        bloom_c = wh.read_table(spark, parent, "bloom_clipped") or no_state
-        bloom_p_base = wh.read_table(spark, parent, "bloom_parsed") or no_state
+        bloom_c = wh.read_table(spark, parent, "bloom_clipped", BLOOM_STATE_SCHEMA) or no_state
+        bloom_p_base = wh.read_table(spark, parent, "bloom_parsed", BLOOM_STATE_SCHEMA) or no_state
         # delta-maintained bloom: base bits ∪ per-wave key deltas, OR-merged at
         # read (lazy — one extra cogroup in the same job), compacted below
         parsed_deltas = (parent or {}).get("tables", {}).get("bloom_parsed_delta", [])
@@ -153,9 +153,9 @@ def run_wave(
             bloom_p = bloom_add(bloom_p_base, delta_keys, cfg.bloom, key="pair_md5")
         else:
             bloom_p = bloom_p_base
-        cuckoo = wh.read_table(spark, parent, "cuckoo_state") or spark.createDataFrame(
-            [], CUCKOO_STATE_SCHEMA
-        )
+        cuckoo = wh.read_table(
+            spark, parent, "cuckoo_state", CUCKOO_STATE_SCHEMA
+        ) or spark.createDataFrame([], CUCKOO_STATE_SCHEMA)
         # FUSED gate: clipped ∧ parsed ∧ retry membership in ONE cogroup
         # shuffle of the wave (the states are co-partitioned by the same key);
         # replaces two bloom shuffles + a cuckoo shuffle + union + dedup.

@@ -230,13 +230,21 @@ class Warehouse:
         name: str,
         schema: StructType | str | None = None,
     ) -> DataFrame | None:
-        """DataFrame over all committed data dirs of `name`; None if absent."""
+        """DataFrame over all committed data dirs of `name`; None if absent.
+
+        When `schema` is given it is applied to the scan too, not just the
+        empty case: schema inference reads parquet footers in a driver-side
+        job per read, and a committed wave does 4-6 state reads — with the
+        schemas known statically that is pure constant overhead."""
         paths = self.table_paths(manifest, name)
         if not paths:
             if schema is not None:
                 return spark.createDataFrame([], schema)
             return None
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     def new_manifest(self, parent: dict | None) -> dict:
         if parent is None:
