@@ -15,6 +15,13 @@ text with ~60% non-IMG lines, so this filter is load-bearing.
 No file-sharding stage exists (S3): Spark's input splitting
 (spark.sql.files.maxPartitionBytes) subsumes the reference's wc/head/tail
 2-shard split (crawlingathome.py:165-174).
+
+Compression note for the .gz path: gzip is NOT splittable, so a .wat.gz file
+is one input task regardless of maxPartitionBytes. That matches Common Crawl's
+layout — a crawl is ~64k files of ~1 GB each, so file-count parallelism
+saturates any cluster size this engine targets; per-file splitting only
+matters for uncompressed or bzip2/zstd-seekable inputs, which the same
+spark.read.text path handles with byte-range splits.
 """
 
 from __future__ import annotations
