@@ -563,6 +563,35 @@ def q42_wat_scan(spark, sf_dir):
     return read_wat_lines(spark, path).select("page_url", "pos", "link_url", "alt")
 
 
+def q43_dataset_finalize(spark, sf_dir):
+    """Dataset finalization composition (plans/dataset.py — the downstream
+    LAION-style stage the reference fed, README.md:8): decode → exact pHash
+    dedup → banded near-dup collapse → caption MinHash-LSH dedup → CLIP-proxy
+    score gate, over the fixture pairs with image_id as the keep-lowest key.
+    The oracle is an independent brute-force re-derivation (no banding, no
+    Spark) of the same greedy rules."""
+    from crawlingathome_worker_spark.functions.udfs import clip_score_udf, text_feature_udf
+    from crawlingathome_worker_spark.operators.fetch import with_decoded
+    from crawlingathome_worker_spark.plans.dataset import finalize_pairs
+
+    pairs = spark.read.parquet(os.path.join(_fixtures(), "pairs.parquet"))
+    dec = with_decoded(pairs.select("image_id", "bytes", "caption")).filter(F.col("dec_ok"))
+    raw = dec.select(
+        "image_id",
+        "phash",
+        "caption",
+        clip_score_udf(F.col("img_feat"), text_feature_udf(F.col("caption")))
+        .cast("double")
+        .alias("score"),
+    )
+    final = finalize_pairs(
+        raw, id_col="image_id", score_threshold=0.05, caption_jaccard=0.8
+    )["final"]
+    return final.select(
+        "image_id", "phash", (F.round("score", 3) + F.lit(0.0)).alias("score")
+    )
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -647,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_tpch_q6": q40_tpch_q6,
         "q41_tpch_q4": q41_tpch_q4,
         "q42_wat_scan": q42_wat_scan,
+        "q43_dataset_finalize": q43_dataset_finalize,
     }
 
 
@@ -868,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
                 "q34_video_frames",
                 "q35_ann_ivf",
                 "q42_wat_scan",
+                "q43_dataset_finalize",
             )
         },
     }

@@ -25,6 +25,55 @@ from ..operators.textdedup import minhash_lsh_pairs, minhash_signatures
 from ..state.snapshots import Warehouse
 
 
+def finalize_pairs(
+    raw: DataFrame,
+    id_col: str = "sample_id",
+    score_threshold: float = 0.0,
+    phash_max_hamming: int = 3,
+    caption_jaccard: float = 0.8,
+    num_perm: int = 64,
+) -> dict[str, DataFrame]:
+    """The LAZY finalization composition over any pairs_out-shaped frame
+    (columns: id_col, phash, caption, score, …passthrough). Returns the
+    per-stage frames {raw, exact, img_clean, deduped, final} so callers can
+    persist/count whichever stages they report on. `id_col` may be any
+    orderable type — greedy keep-lowest rules compare in its native order."""
+    id_type = dict(raw.dtypes)[id_col]
+
+    # 1. exact pHash dedup — identical/re-encoded images collapse (first-wins)
+    exact = phash_dedup(raw, order_col=id_col)
+
+    # 2. near-dup images: banded hamming pairs → greedy drop the higher id
+    near = phash_near_pairs(
+        exact.select(F.col(id_col).cast("string").alias("image_key"), "phash"),
+        id_col="image_key",
+        max_hamming=phash_max_hamming,
+    )
+    drop_img = near.select(
+        F.greatest(F.col("id_a").cast(id_type), F.col("id_b").cast(id_type)).alias(id_col)
+    ).distinct()
+    img_clean = exact.join(drop_img, id_col, "left_anti")
+
+    # 3. caption near-dups: MinHash-LSH over captions, greedy keep-lowest id
+    sigs = minhash_signatures(
+        img_clean.select(F.col(id_col).alias("doc_id"), F.col("caption").alias("text")),
+        num_perm=num_perm,
+    )
+    cap_pairs = minhash_lsh_pairs(sigs, threshold=caption_jaccard, num_perm=num_perm)
+    drop_cap = cap_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    deduped = img_clean.join(drop_cap, id_col, "left_anti")
+
+    # 4. CLIP-proxy gate (the reference project's whole purpose, README.md:8)
+    final = deduped.filter(F.col("score") >= score_threshold)
+    return {
+        "raw": raw,
+        "exact": exact,
+        "img_clean": img_clean,
+        "deduped": deduped,
+        "final": final,
+    }
+
+
 def build_training_set(
     spark: SparkSession,
     wh: Warehouse,
@@ -45,33 +94,18 @@ def build_training_set(
     raw = wh.read_table(spark, latest, "pairs_out").persist()
     n_raw = raw.count()
 
-    # 1. exact pHash dedup — identical/re-encoded images collapse (first-wins)
-    exact = phash_dedup(raw, order_col="sample_id").persist()
-
-    # 2. near-dup images: banded hamming pairs → greedy drop the higher sample_id
-    near = phash_near_pairs(
-        exact.select(F.col("sample_id").cast("string").alias("image_key"), "phash"),
-        id_col="image_key",
-        max_hamming=phash_max_hamming,
-    )
-    drop_img = near.select(
-        F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("sample_id")
-    ).distinct()
-    img_clean = exact.join(drop_img, "sample_id", "left_anti").persist()
-
-    # 3. caption near-dups: MinHash-LSH over captions, greedy keep-lowest id
-    sigs = minhash_signatures(
-        img_clean.select(F.col("sample_id").alias("doc_id"), F.col("caption").alias("text")),
+    stages = finalize_pairs(
+        raw,
+        id_col="sample_id",
+        score_threshold=score_threshold,
+        phash_max_hamming=phash_max_hamming,
+        caption_jaccard=caption_jaccard,
         num_perm=num_perm,
     )
-    cap_pairs = minhash_lsh_pairs(sigs, threshold=caption_jaccard, num_perm=num_perm)
-    drop_cap = cap_pairs.select(F.col("doc_b").alias("sample_id")).distinct()
-    deduped = img_clean.join(drop_cap, "sample_id", "left_anti").persist()
-
-    # 4. CLIP-proxy gate (the reference project's whole purpose, README.md:8)
-    final = (
-        deduped.filter(F.col("score") >= score_threshold).orderBy("sample_id").persist()
-    )
+    exact = stages["exact"].persist()
+    img_clean = stages["img_clean"].persist()
+    deduped = stages["deduped"].persist()
+    final = stages["final"].orderBy("sample_id").persist()
 
     n_final = final.count()  # materializes `final` (each upstream count is a cache hit)
     stats = {

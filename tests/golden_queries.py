@@ -563,6 +563,88 @@ def g42_wat_scan(sf_dir: str, fx_dir: str) -> pa.Table:
     )
 
 
+def g43_dataset_finalize(
+    sf_dir: str,
+    fx_dir: str,
+    score_threshold: float = 0.05,
+    max_hamming: int = 3,
+    caption_jaccard: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> pa.Table:
+    """Independent re-derivation of plans/dataset.py's finalization over the
+    fixture pairs, keyed by image_id: brute-force hamming near pairs (no
+    banding — the engine's pigeonhole bands are recall-complete, so the sets
+    must agree), g20-style MinHash-LSH caption pairs, the same greedy
+    keep-lowest rules, and the score gate on the bit-identical float32 dot."""
+    recs = []
+    for r in _decoded(fx_dir, with_caption=True):
+        if r["dec"] is None:
+            continue
+        img = r["dec"][3]
+        feat = phash.image_feature(img)
+        tf = text_feature(r["caption"]) if r["caption"] is not None else None
+        score = float(np.dot(feat, tf)) if tf is not None else 0.0
+        recs.append(
+            {
+                "id": r["image_id"],
+                "phash": phash.phash64(img),
+                "caption": r["caption"],
+                "score": score,
+            }
+        )
+
+    # 1. exact pHash dedup, keep lowest image_id
+    by_ph: dict[int, dict] = {}
+    for rec in recs:
+        k = rec["phash"]
+        if k not in by_ph or rec["id"] < by_ph[k]["id"]:
+            by_ph[k] = rec
+    exact = sorted(by_ph.values(), key=lambda rec: rec["id"])
+
+    # 2. near-dup images: brute-force hamming <= max_hamming, drop max id
+    drop_img = set()
+    for i in range(len(exact)):
+        for j in range(i + 1, len(exact)):
+            x = (exact[i]["phash"] ^ exact[j]["phash"]) & _MASK64
+            if bin(x).count("1") <= max_hamming:
+                drop_img.add(max(exact[i]["id"], exact[j]["id"]))
+    img_clean = [rec for rec in exact if rec["id"] not in drop_img]
+
+    # 3. caption MinHash-LSH near-dups (g20 machinery), drop doc_b of each pair
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
+    sigs = {rec["id"]: _minhash_sig(rec["caption"], a, b) for rec in img_clean}
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple, list[str]] = {}
+    for did, sig in sigs.items():
+        for bnd in range(bands):
+            key = (bnd, tuple(sig[bnd * rows_per_band : (bnd + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(did)
+    drop_cap = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = int((sigs[ids[i]] == sigs[ids[j]]).sum()) / num_perm
+                if est >= caption_jaccard:
+                    drop_cap.add(ids[j])
+    deduped = [rec for rec in img_clean if rec["id"] not in drop_cap]
+
+    # 4. score gate (raw float32 comparison — bit-identical to the engine)
+    final = [rec for rec in deduped if rec["score"] >= score_threshold]
+    return pa.table(
+        {
+            "image_id": pa.array([rec["id"] for rec in final], pa.string()),
+            "phash": pa.array([rec["phash"] for rec in final], pa.int64()),
+            "score": pa.array(
+                [_round_half_up(rec["score"], 3) for rec in final], pa.float64()
+            ),
+        }
+    )
+
+
 GOLDEN_QUERIES = {
     "q19_lang_pred": g19_lang_pred,
     "q20_minhash_lsh_pairs": g20_minhash_lsh_pairs,
@@ -580,4 +662,5 @@ GOLDEN_QUERIES = {
     "q34_video_frames": g34_video_frames,
     "q35_ann_ivf": g35_ann_ivf,
     "q42_wat_scan": g42_wat_scan,
+    "q43_dataset_finalize": g43_dataset_finalize,
 }
