@@ -47,6 +47,15 @@ def main() -> None:
         "--stats", action="store_true",
         help="print per-wave counter totals from the metrics table",
     )
+    ap.add_argument(
+        "--finalize", default=None, metavar="PATH",
+        help="after the run, write the deduplicated + score-gated training set "
+        "(plans/dataset.py) to PATH and print its stats row",
+    )
+    ap.add_argument(
+        "--score-threshold", type=float, default=0.0,
+        help="CLIP-proxy score gate for --finalize",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -106,6 +115,13 @@ def main() -> None:
         totals = read_metrics(spark, wh).filter("partition_id = -1").collect()
         for r in totals:
             print(json.dumps({"wave": r["wave_no"], r["counter"]: r["value"]}))
+    if args.finalize:
+        from crawlingathome_worker_spark.plans.dataset import write_training_set
+
+        stats = write_training_set(
+            spark, wh, args.finalize, score_threshold=args.score_threshold
+        )
+        print(json.dumps({"finalized": args.finalize, **stats}))
     spark.stop()
 
 
