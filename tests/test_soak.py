@@ -18,7 +18,9 @@ from crawlingathome_worker_spark.config import EngineConfig
 from crawlingathome_worker_spark.plans.wave import run_wave
 from crawlingathome_worker_spark.state.snapshots import Warehouse
 
-N_WAVES = 8
+# the checkpoint-RDD leak this test was built around reproduced at wave 2;
+# 6 waves keeps ample margin while holding suite wall time down
+N_WAVES = 6
 
 
 def _n_persistent_rdds(spark) -> int:
