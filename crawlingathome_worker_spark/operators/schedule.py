@@ -14,7 +14,12 @@ Plan here (and why there is NO second shuffle of the data):
    tiny P-row aggregate + broadcast join instead of a Window.partitionBy(_pid)
    (which would re-Exchange every row on _pid: Catalyst cannot know the data is
    already co-located by partition id);
-3. per-partition row counts cumsum into offsets (P-row window, broadcast back).
+3. per-partition row counts cumsum into offsets DRIVER-SIDE (P rows — the
+   same P rows a broadcast would collect anyway), then createDataFrame +
+   broadcast back. A Window.orderBy cumsum — even with partitionBy(lit(0)) —
+   plans a partition-less WindowExec on Spark 4 (EliminateWindowPartitions
+   folds the foldable key away) and warns on every wave; Python over P ints
+   is strictly cheaper than a WindowExec and warning-free.
 
 sample_id = start_id + offset[pid] + local_rank + 1 — first id is start_id + 1,
 matching the reference's pre-increment.
@@ -22,7 +27,7 @@ matching the reference's pre-increment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -50,21 +55,23 @@ def assign_sample_ids(
         .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    stats = rdf.groupBy("_pid").agg(
-        F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mmin")
+    stats = (
+        rdf.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mmin"))
+        .collect()
     )
-    # The offsets cumsum runs over exactly P rows, but a bare Window.orderBy
-    # emits a scary (and log-spamming) "No Partition Defined" warning on every
-    # wave. partitionBy(lit(0)) pins the same single-partition frame explicitly
-    # — P rows, by construction — and silences the false alarm.
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = stats.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).select("_pid", "_mmin", "_off")
+    # Cumsum the P per-partition counts on the DRIVER: the broadcast join below
+    # collects these P rows anyway, and any window formulation plans a
+    # partition-less WindowExec (Spark 4's EliminateWindowPartitions folds a
+    # foldable partitionBy key away, so even partitionBy(lit(0)) still warns
+    # "No Partition Defined" every wave). P ≈ shuffle partition count — Python
+    # arithmetic over P ints, no Spark job beyond the stats aggregate.
+    stats.sort(key=lambda r: r["_pid"])
+    off_rows, acc = [], 0
+    for r in stats:
+        off_rows.append((int(r["_pid"]), int(r["_mmin"]), acc))
+        acc += int(r["_cnt"])
+    offsets = sess.createDataFrame(off_rows, "_pid int, _mmin bigint, _off bigint")
     out = (
         rdf.join(F.broadcast(offsets), "_pid")
         .withColumn(

@@ -51,16 +51,37 @@ def _obs_count(obs: Observation, df: DataFrame) -> int:
         return df.count()
 
 
+_release_warned = False
+
+
 def _release_checkpoint(df: DataFrame) -> None:
     """Free a localCheckpoint'ed frame's blocks. DataFrame.unpersist() only
     clears the CacheManager entry; the checkpoint RDD is persisted at the RDD
     level (outside the CacheManager) and stays resident until released through
     the LogicalRDD plan node — without this, the session bloom cache leaked
-    one checkpointed RDD's blocks per committed wave (tests/test_soak.py)."""
+    one checkpointed RDD's blocks per committed wave (tests/test_soak.py).
+
+    The release path leans on private JVM internals (queryExecution → analyzed
+    → rdd), so a Spark upgrade that changes the plan shape would silently turn
+    every release back into that leak — when it throws, WARN loudly (once per
+    process) so the regression is visible the day it happens, but never fail
+    the wave on cleanup."""
+    global _release_warned
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass  # already released / plan shape changed — never fail a wave on cleanup
+    except Exception as e:
+        if not _release_warned:
+            _release_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "localCheckpoint release failed (%s: %s) — the session bloom "
+                "cache will LEAK one checkpointed RDD's blocks per committed "
+                "wave until plans/wave.py:_release_checkpoint is adapted to "
+                "this Spark version",
+                type(e).__name__,
+                e,
+            )
 
 
 def _lineage(df: DataFrame) -> list[dict]:
@@ -431,6 +452,22 @@ def run_wave(
             "rejected": n_scheduled - n_ok - n_errors,
             "errors": n_errors,
         }
+        # Invariant guard on the observe() values (ADVICE r3): counter
+        # exactness under the staged pool rests on the cache's per-partition
+        # compute locking keeping CollectMetrics attribution whole across the
+        # concurrent stage-A actions — measured exact on this Spark version,
+        # but a future version splitting attribution would return silently
+        # wrong counters. The pipeline only narrows, so
+        # candidates >= unseen >= scheduled + deferred must hold; a violation
+        # triggers the count() fallback over the persisted frames.
+        if not (
+            counters["candidates"]
+            >= counters["unseen"]
+            >= n_scheduled + counters["deferred"]
+        ):
+            counters["candidates"] = cands.count()
+            counters["unseen"] = unseen.count()
+            counters["deferred"] = deferred.count()
         manifest["counters"] = counters
         if f_lin is not None:
             manifest["lineage"] = {
@@ -478,6 +515,16 @@ def run_wave(
             # pool — next_merged may not be bound yet, so release it directly
             if plan_added.storageLevel != StorageLevel.NONE:
                 plan_added.unpersist()
+        # A failed gate job can leave the session cache's (non-replicated,
+        # lineage-truncated) checkpoint blocks broken — an in-process retry on
+        # this same Warehouse object would hit the same snapshot key and reuse
+        # the broken checkpoint on every retry until the process restarted.
+        # Drop the cache so the retry rebuilds from the durable base+delta
+        # tables (ADVICE r3).
+        _stale = getattr(wh, "_bloom_session_cache", None)
+        if _stale is not None:
+            wh._bloom_session_cache = None
+            _release_checkpoint(_stale["df"])
         for _df in (cands, gated, classified):
             _df.unpersist()
         unpersist_sample_ids(scheduled)
@@ -502,6 +549,14 @@ def run_wave(
     finally:
         if new_cache_df is not None and not committed:
             _release_checkpoint(new_cache_df)  # commit lost the race — discard the fold
+        if not committed:
+            # lost the commit race: the next wave reads the winner's snapshot,
+            # so this cache's key can never hit again — release it now instead
+            # of leaking its checkpoint blocks for the rest of the session
+            _stale = getattr(wh, "_bloom_session_cache", None)
+            if _stale is not None:
+                wh._bloom_session_cache = None
+                _release_checkpoint(_stale["df"])
         if fold_needed and next_merged.storageLevel != StorageLevel.NONE:
             next_merged.unpersist()  # the pre-checkpoint persist (compaction path)
         cands.unpersist()

@@ -541,12 +541,17 @@ def g42_wat_scan(sf_dir: str, fx_dir: str) -> pa.Table:
                 links = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"][
                     "Links"
                 ]
-            except (KeyError, ValueError):
-                continue  # reference's try/except drop (crawlingathome.py:58-61, 70-79)
+            except (KeyError, ValueError, TypeError, AttributeError):
+                # reference's try/except drop (crawlingathome.py:58-61, 70-79).
+                # TypeError/AttributeError cover structurally-off-but-valid
+                # JSON (Envelope a string, Links not a list): the engine's
+                # from_json nulls such fields and drops the line, so the
+                # oracle must drop too, not crash (ADVICE r3).
+                continue
             if page_url is None or links is None:
                 continue
             for pos, link in enumerate(links):
-                url = link.get("url")
+                url = link.get("url") if isinstance(link, dict) else None
                 if url is None:
                     continue
                 page_urls.append(page_url)

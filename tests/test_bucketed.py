@@ -117,6 +117,52 @@ def test_wave_fetch_join_no_exchange_on_bucketed_pairs(spark, fx_dir):
     assert n_p == 2, f"plain join should shuffle both sides, got {n_p}"
 
 
+def test_changed_source_reingests(spark, fx_dir, tmp_path):
+    """Freshness is a CONTENT fingerprint of the source file listing (works on
+    hdfs/s3 where mtime does not exist, VERDICT r3 item 4): rewriting the
+    source parquet — even with identical mtime semantics — must re-ingest."""
+    src = str(tmp_path / "pairs_src.parquet")
+    pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
+    pairs.limit(50).write.mode("overwrite").parquet(src)
+    df1 = ensure_bucketed_pairs(spark, src, table="pairs_bucketed_mut", buckets=4)
+    assert df1.count() == 50
+    # mutate the source: new part files (writer-unique names → new fingerprint)
+    pairs.limit(80).write.mode("overwrite").parquet(src)
+    df2 = ensure_bucketed_pairs(spark, src, table="pairs_bucketed_mut", buckets=4)
+    assert df2.count() == 80  # stale buckets would still read 50
+    # and unchanged source stays a catalog read (fingerprint match, no rebuild)
+    from crawlingathome_worker_spark.sources.bucketed import _table_location
+
+    marker = os.path.join(_table_location(spark, "pairs_bucketed_mut"), "_bucketed_ingest.json")
+    mtime = os.path.getmtime(marker)
+    ensure_bucketed_pairs(spark, src, table="pairs_bucketed_mut", buckets=4)
+    assert os.path.getmtime(marker) == mtime
+
+
+def test_ingest_lock_contention_fails_loudly(spark, fx_dir):
+    """A live concurrent ingest must raise, not race DROP TABLE + rmtree under
+    the other driver (ADVICE r3); a stale (crashed-ingester) lock is swept."""
+    import pytest
+
+    src = os.path.join(fx_dir, "pairs.parquet")
+    wdir = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    lock = os.path.join(wdir, "_pairs_bucketed_lock.ingest.lock")
+    with open(lock, "w") as f:
+        f.write("99999")  # simulated live holder (fresh mtime)
+    try:
+        with pytest.raises(RuntimeError, match="already in progress"):
+            ensure_bucketed_pairs(spark, src, table="pairs_bucketed_lock", buckets=4)
+        # age the lock past the stale gate — next call sweeps it and ingests
+        old = os.path.getmtime(lock) - 7200
+        os.utime(lock, (old, old))
+        df = ensure_bucketed_pairs(spark, src, table="pairs_bucketed_lock", buckets=4)
+        assert df.count() == spark.read.parquet(src).count()
+        assert not os.path.exists(lock)  # released after the ingest
+    finally:
+        if os.path.exists(lock):
+            os.unlink(lock)
+
+
 def test_torn_marker_self_heals(spark, fx_dir):
     """A crash mid-marker-write leaves partial JSON; the next call must treat
     it as stale and re-ingest instead of raising JSONDecodeError forever."""

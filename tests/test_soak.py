@@ -102,7 +102,43 @@ def test_failed_wave_releases_all_state(spark, fx_dir, tmp_path_factory):
     finally:
         wh.write_table = real_write
 
-    assert _n_persistent_rdds(spark) == base
-    # and the warehouse still works: the next wave commits fine
+    # the failed wave ALSO evicts the session bloom cache (ADVICE r3: after a
+    # failed gate job its non-replicated checkpoint blocks may be broken, and
+    # an in-process retry would otherwise reuse them forever) — so one fewer
+    # persistent RDD than the committed-wave baseline, and the retry path
+    # falls back to the durable base+delta tables
+    assert getattr(wh, "_bloom_session_cache", None) is None
+    assert _n_persistent_rdds(spark) == base - 1
+    # and the warehouse still works: the next wave commits fine and
+    # re-establishes the session cache from the durable tables
     m = run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False, shard_key="c")
     assert m["wave_no"] == 2
+    assert _n_persistent_rdds(spark) == base
+
+
+def test_release_checkpoint_warns_loudly_on_failure(spark, caplog):
+    """_release_checkpoint leans on private JVM plan internals; if a Spark
+    upgrade breaks that path every release silently becomes the per-wave leak
+    the soak test exists to prevent — so a failing release must WARN (once per
+    process), never swallow (VERDICT r3 item 5)."""
+    import logging
+
+    from crawlingathome_worker_spark.plans import wave as wave_mod
+
+    class Broken:
+        @property
+        def _jdf(self):
+            raise RuntimeError("plan shape changed in this Spark version")
+
+    wave_mod._release_warned = False
+    logger = "crawlingathome_worker_spark.plans.wave"
+    try:
+        with caplog.at_level(logging.WARNING, logger=logger):
+            wave_mod._release_checkpoint(Broken())
+        assert any("LEAK" in r.getMessage() for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger=logger):
+            wave_mod._release_checkpoint(Broken())  # once per process: now quiet
+        assert not caplog.records
+    finally:
+        wave_mod._release_warned = False

@@ -195,3 +195,55 @@ def test_output_rows_match_committed_pixel_golden(e2e):
             assert g[col] == w[col], (col, g["sample_id"])
         assert bytes(g["bytes"]) == w["bytes"]
         assert abs(float(g["score"]) - w["score"]) < 1e-6
+
+
+def test_bloom_mode_output_matches_committed_pixel_golden(spark, fx_dir, tmp_path_factory):
+    """Byte-stable OUTPUT golden for the BLOOM path (VERDICT r3 item 7): the
+    exact-mode pixel golden above never executes the fused cogroup gate, so a
+    payload regression there was previously invisible to the committed goldens.
+    A bloom-mode wave 1 must reproduce golden/pairs_out_wave1.parquet
+    byte-for-byte — valid because bloom ≡ exact at the pinned FPR on this
+    fixture (test_modes.test_bloom_mode_equals_exact_mode pins the premise)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from crawlingathome_worker_spark.config import BloomParams, CuckooParams
+
+    from .gen_goldens import GOLDEN
+    from .test_modes import _seed_wh
+
+    links_df = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    max_page = links_df.agg(F.max("page_id")).collect()[0][0]
+    s0 = links_df.filter(links_df.page_id <= max_page // 2)
+    seen = spark.read.parquet(f"{fx_dir}/seen_seed.parquet")
+    retry = seen.filter(F.col("retryable")).select("pair_md5")
+
+    params = BloomParams(capacity=1_000_000, fpr=1e-5, partitions=4)
+    ck = CuckooParams(buckets_per_partition=1 << 14, partitions=4)
+    cfg = EngineConfig(
+        default_host_budget=20, wave_seconds=30.0,
+        dedup_mode="bloom", bloom=params, cuckoo=ck,
+    )
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_bloom_golden")))
+    _seed_wh(spark, wh, seen.select("pair_md5", "kind"), retry,
+             bloom_params=params, cuckoo_params=ck)
+    m1 = run_wave(
+        spark, wh, cfg,
+        spark.read.parquet(f"{fx_dir}/pairs.parquet"),
+        spark.read.parquet(f"{fx_dir}/robots.parquet"),
+        s0, collect_lineage=False,
+    )
+
+    golden = pq.read_table(os.path.join(GOLDEN, "pairs_out_wave1.parquet")).to_pylist()
+    got = sorted(
+        (r.asDict() for r in wh.read_table(spark, m1, "pairs_out").collect()),
+        key=lambda r: r["sample_id"],
+    )
+    assert len(got) == len(golden) > 50
+    for g, w in zip(got, golden):
+        for col in ("image_id", "w", "h", "fmt", "caption", "phash", "sample_id", "url", "license"):
+            assert g[col] == w[col], (col, g["sample_id"])
+        assert bytes(g["bytes"]) == w["bytes"]
+        assert abs(float(g["score"]) - w["score"]) < 1e-6
