@@ -367,6 +367,7 @@ def knn_self_join(
     id_col: str = "vec_id",
     max_bucket_rows: int | None = None,
     dim: int | None = None,
+    score_before_collapse: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded multi-table LSH candidates,
     exact cosine only within (table, signature) buckets. → (id_a, id_b, cosine
@@ -422,17 +423,33 @@ def knn_self_join(
         nb[nb == 0] = 1.0
         return pd.Series(np.einsum("ij,ij->i", a, b) / (na * nb))
 
-    # cosine BEFORE the duplicate-pair collapse (a pair colliding in k of the
-    # n_tables bands is scored k times — vectorized numpy, cheap), so the
-    # dedup shuffles three scalars per threshold-surviving candidate instead
-    # of two dim-float vectors per raw banded match; identical evaluations
-    # produce identical cosines, so which duplicate survives is immaterial.
-    out = (
-        cand.withColumn("cosine", pair_cos("va", "vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Scoring placement, MEASURED (round 4, sf0.1, 4 interleaved min-of-8
+    # sessions): collapse-THEN-score 1.0-1.8 s vs score-then-collapse 2.1-2.9 s
+    # — evaluating a Python UDF inside the join stage is pathological on this
+    # Spark: the threshold filter is pushed beneath the projection and the
+    # Arrow UDF plans TWICE (2 pair_cos refs in the physical plan), and the
+    # join-stage pipeline serializes on the Python round trip (JVM-HOF,
+    # first-match-band, asNondeterministic and mapInPandas variants all
+    # measured worse still). The band-duplication factor is ~1.03 at sane
+    # LSH parameters, so "score once per unique pair" costs ≈ nothing extra
+    # and the default collapses first. The tradeoff is the dedup exchange
+    # carrying the two vectors per candidate; on a network-bound cluster
+    # where that shuffle dominates, `score_before_collapse=True` restores
+    # the survivors-only-scalar shuffle shape.
+    if score_before_collapse:
+        out = (
+            cand.withColumn("cosine", pair_cos("va", "vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        out = (
+            cand.dropDuplicates(["id_a", "id_b"])
+            .withColumn("cosine", pair_cos("va", "vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
     out._banded_cache = banded_cache
     _BANDED_CACHES.append(banded_cache)
     return out

@@ -277,12 +277,16 @@ def run_wave(
     # locking keeps the latched observation exact; _obs_count's count()
     # fallback and the e2e counters-equality tests (engine ≡ oracle, every
     # run) guard the assumption against a future Spark changing attribution.
-    # The state writes only need the STATUS COUNTS to decide what can be
-    # skipped, and status is the cheapest stage-A job (no sort, no file I/O):
-    # stage B (state writes + session-cache fold + lineage) is submitted into
-    # the SAME pool the moment status resolves, overlapping the pairs_out
-    # sort tail instead of serializing behind it. Stage C (metrics) further
-    # needs the observe() values carried by the frontier write.
+    # Stage B (state writes + session-cache fold) is submitted OPTIMISTICALLY
+    # with stage A for input waves: every state plan's CONTENT is fixed at
+    # plan-construction time — only whether the manifest REGISTERS the write
+    # depends on the status counts, and registration happens after status as
+    # before. An input wave that schedules zero rows (rare) just leaves an
+    # unregistered orphan dir — the same invisible-until-committed lifecycle
+    # as a failed wave's files. Drain waves (wat_links is None) keep the
+    # post-status submission so provably-empty waves still skip state writes
+    # entirely. Lineage submits when status resolves; stage C (metrics)
+    # further needs the observe() values carried by the frontier write.
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
     # optional phase profile (SPARK_GRAFT_WAVE_TIMING=1): stage wall seconds
@@ -324,6 +328,62 @@ def run_wave(
             _timed("frontier", wh.write_table), frontier_out, "frontier", snap_id
         )
         f_out = ex.submit(_timed("pairs_out", wh.write_table), out, "pairs_out", snap_id)
+
+        # OPTIMISTIC stage B (input waves only — see the pool comment above):
+        # state-write content never depends on the status counts, so the jobs
+        # start alongside stage A and fully overlap the pairs_out sort instead
+        # of queueing behind the status gather (measured ~1.4 s of stage-B
+        # tail serialized behind a ~1.4 s status job at bench scale). Whether
+        # the manifest REGISTERS each write is still decided post-status.
+        parent_tables = (parent or {}).get("tables", {})
+        # cuckoo: parent emptiness rides the manifest so waves that cannot
+        # change the table (no failures to insert, nothing to delete from an
+        # empty table, or nothing attempted at all) skip the rewrite entirely
+        # (VERDICT r2 item 2). Pre-field manifests with a cuckoo table are
+        # conservatively treated as non-empty.
+        parent_cuckoo_nonempty = bool(
+            (parent or {}).get("cuckoo_nonempty", bool(parent_tables.get("cuckoo_state")))
+        )
+        opt: dict = {}  # table name -> already-submitted write future
+        f_fold = None
+        if wat_links is not None:
+            if cfg.dedup_mode == "bloom":
+                if will_compact:
+                    opt["bloom_parsed"] = ex.submit(
+                        _timed("bloom_parsed", wh.write_table),
+                        plan_added, "bloom_parsed", snap_id,
+                    )
+                else:
+                    opt["bloom_parsed_delta"] = ex.submit(
+                        _timed("bloom_parsed_delta", wh.write_table),
+                        plan_delta, "bloom_parsed_delta", snap_id,
+                    )
+                if cfg.reference_strict:
+                    if not parent_tables.get("cuckoo_state"):
+                        opt["cuckoo_state"] = ex.submit(
+                            _timed("cuckoo_state", wh.write_table),
+                            cuckoo, "cuckoo_state", snap_id,
+                        )
+                elif parent_cuckoo_nonempty:
+                    # needed whenever anything was attempted; a rare empty
+                    # input wave leaves it an unregistered orphan
+                    opt["cuckoo_state"] = ex.submit(
+                        _timed("cuckoo_state", wh.write_table),
+                        plan_cuckoo, "cuckoo_state", snap_id,
+                    )
+                # input waves always fold: plan_added is a fresh merge, never
+                # the cached frame (see the fold comment below for semantics)
+                f_fold = ex.submit(
+                    _timed("bloom_fold", lambda: plan_added.localCheckpoint(eager=True))
+                )
+            else:
+                opt["seen_keys"] = ex.submit(
+                    _timed("seen_keys", wh.write_table), plan_seen, "seen_keys", snap_id
+                )
+                opt["retry_keys"] = ex.submit(
+                    _timed("retry_keys", wh.write_table), plan_retry, "retry_keys", snap_id
+                )
+
         status_counts = ex.submit(
             _timed(
                 "status",
@@ -338,7 +398,16 @@ def run_wave(
         n_errors = status_counts.get("error", 0)
         n_ok = status_counts.get("ok", 0)
 
-        pending: list[tuple] = []  # batch 2: (DataFrame, table_name, setter(rel_path))
+        state_futs: list[tuple] = []  # (write future, manifest setter)
+
+        def _reg(name, df, setter):
+            """Register a state write in the manifest: reuse the optimistic
+            future when one was submitted, else submit now (drain waves, and
+            cuckoo when the parent table was empty)."""
+            fut = opt.pop(name, None)
+            if fut is None:
+                fut = ex.submit(_timed(name, wh.write_table), df, name, snap_id)
+            state_futs.append((fut, setter))
 
         if cfg.dedup_mode == "bloom":
             # J4: bloom-add ALL attempted keys to "parsed" (crawlingathome.py:148-154).
@@ -351,16 +420,23 @@ def run_wave(
                 tables["bloom_clipped"] = list(parent["tables"]["bloom_clipped"])
             next_merged = bloom_p  # what the session cache holds after this commit
             if n_scheduled == 0:
-                # empty wave (e.g. drain with nothing scheduled): no keys to add —
-                # carry every parsed pointer forward untouched, write nothing
+                # empty wave (e.g. drain with nothing scheduled): no keys to
+                # add — carry every parsed pointer forward untouched, register
+                # nothing (an optimistic write, if one ran, stays an invisible
+                # orphan dir)
                 if parent and parent["tables"].get("bloom_parsed"):
                     tables["bloom_parsed"] = list(parent["tables"]["bloom_parsed"])
                 tables["bloom_parsed_delta"] = list(parsed_deltas)
-                if will_compact:
+                if f_fold is not None:
+                    # the optimistic fold merged ZERO keys, so it is content-
+                    # identical to the merged parsed bloom — keep it as the
+                    # session cache rather than discarding the checkpoint
+                    next_merged = plan_added
+                elif will_compact:
                     plan_added.unpersist()  # speculative persist, never written
             elif will_compact:
                 tables["bloom_parsed_delta"] = []
-                pending.append((plan_added, "bloom_parsed", _set("bloom_parsed")))
+                _reg("bloom_parsed", plan_added, _set("bloom_parsed"))
                 next_merged = plan_added  # the write materializes it
             else:
                 if parent and parent["tables"].get("bloom_parsed"):
@@ -369,40 +445,30 @@ def run_wave(
                 def _append_delta(rel, base=list(parsed_deltas)):
                     tables["bloom_parsed_delta"] = base + [rel]
 
-                pending.append((plan_delta, "bloom_parsed_delta", _append_delta))
+                _reg("bloom_parsed_delta", plan_delta, _append_delta)
                 next_merged = plan_added
-            # cuckoo: parent emptiness rides the manifest so waves that cannot
-            # change the table (no failures to insert, nothing to delete from an
-            # empty table, or nothing attempted at all) skip the rewrite entirely
-            # (VERDICT r2 item 2). Pre-field manifests with a cuckoo table are
-            # conservatively treated as non-empty.
-            parent_tables = (parent or {}).get("tables", {})
-            parent_cuckoo_nonempty = bool(
-                (parent or {}).get(
-                    "cuckoo_nonempty", bool(parent_tables.get("cuckoo_state"))
-                )
-            )
             if cfg.reference_strict:
                 if parent and parent_tables.get("cuckoo_state"):
                     tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
                 else:
-                    pending.append((cuckoo, "cuckoo_state", _set("cuckoo_state")))
+                    _reg("cuckoo_state", cuckoo, _set("cuckoo_state"))
                 manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
             elif n_scheduled == 0 or (n_errors == 0 and not parent_cuckoo_nonempty):
                 if parent and parent_tables.get("cuckoo_state"):
                     tables["cuckoo_state"] = list(parent_tables["cuckoo_state"])
                 manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty
             else:
-                pending.append((plan_cuckoo, "cuckoo_state", _set("cuckoo_state")))
+                _reg("cuckoo_state", plan_cuckoo, _set("cuckoo_state"))
                 # deletions may have emptied it, but claiming non-empty is safe
                 # (costs at most one later rewrite, never a wrong gate)
                 manifest["cuckoo_nonempty"] = parent_cuckoo_nonempty or n_errors > 0
         else:
-            pending.append((plan_seen, "seen_keys", _set("seen_keys")))
-            pending.append((plan_retry, "retry_keys", _set("retry_keys")))
+            _reg("seen_keys", plan_seen, _set("seen_keys"))
+            _reg("retry_keys", plan_retry, _set("retry_keys"))
 
-        # stage B: state writes + session-cache fold + lineage, submitted NOW
-        # (frontier/pairs_out still running — they overlap).
+        # stage B remainder: a state write not submitted optimistically (drain
+        # waves; cuckoo on an empty parent) entered the pool via _reg above;
+        # lineage submits here.
         #
         # The session-cache fold: localCheckpoint materializes the merged
         # bloom (its lineage runs through `classified`, which the finally
@@ -420,15 +486,16 @@ def run_wave(
         fold_needed = cfg.dedup_mode == "bloom" and not (
             old_cache is not None and next_merged is old_cache["df"]
         )
-        state_futs = [
-            (ex.submit(_timed(name, wh.write_table), df, name, snap_id), setter)
-            for df, name, setter in pending
-        ]
-        f_fold = (
-            ex.submit(_timed("bloom_fold", lambda: next_merged.localCheckpoint(eager=True)))
-            if fold_needed
-            else None
-        )
+        if fold_needed and f_fold is None:  # drain wave that changed state
+            f_fold = ex.submit(
+                _timed("bloom_fold", lambda: next_merged.localCheckpoint(eager=True))
+            )
+        elif not fold_needed and f_fold is not None:
+            # unreachable today (optimistic ⇒ input wave ⇒ next_merged is a
+            # fresh merge), but a future re-keying path must not leak the
+            # already-running checkpoint
+            _release_checkpoint(f_fold.result())
+            f_fold = None
         f_lin = (
             (
                 ex.submit(_timed("lineage_sched", _lineage), scheduled),
@@ -490,6 +557,11 @@ def run_wave(
         tables.setdefault("pairs_out", []).append(f_out.result())
         for fut, setter in state_futs:
             setter(fut.result())
+        for fut in opt.values():
+            # unregistered optimistic writes (rare empty input wave): await so
+            # genuine errors (disk full) surface; the dirs stay invisible
+            # orphans — no manifest ever points at them
+            fut.result()
         tables.setdefault("metrics", []).append(f_metrics.result())
         new_cache_df = f_fold.result() if f_fold is not None else None
     except BaseException:

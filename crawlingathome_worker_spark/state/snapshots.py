@@ -214,7 +214,16 @@ class Warehouse:
 
     # -- tables --------------------------------------------------------------
     def write_table(self, df: DataFrame, name: str, snap_id: int) -> str:
-        rel = os.path.join("tables", name, f"snap{snap_id:06d}")
+        """Write a table version into a WRITER-UNIQUE directory and return its
+        rel path for the manifest. The uuid suffix is load-bearing for
+        concurrent writers: two drivers racing the same snapshot id would
+        otherwise write the SAME directory, and the loser's mode("overwrite")
+        deletes the winner's in-flight (or even committed) files — found by
+        tests/test_concurrent_writers.py. Readers only ever follow manifest
+        pointers (never guess paths), so the loser's directory is simply an
+        orphan that gc()'s age-gated unreferenced-dir sweep reclaims — the
+        same convention Iceberg uses for uncommitted data files."""
+        rel = os.path.join("tables", name, f"snap{snap_id:06d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         return rel
 
