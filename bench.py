@@ -152,7 +152,7 @@ def run_headline() -> dict:
     # every timed wave does REAL parse/dedup/fetch/classify/output work against
     # non-trivial accumulated state — replaying one shard would let the bloom
     # dedupe everything after wave 1 and time near-empty waves. Wave 1 (state
-    # bootstrap + Python-stage warmup) is untimed; min of the following 3.
+    # bootstrap + Python-stage warmup) is untimed; min of the following 5.
     import shutil
     import tempfile
 
@@ -171,18 +171,25 @@ def run_headline() -> dict:
         pairs_w = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet"))
         from crawlingathome_worker_spark.plans.wave import run_wave
 
-        n_shards = 4
+        # 6 shards → 5 TIMED committed waves: the min-of-3 sample was too thin
+        # for this host's 3-10× noise bursts on the flagship metric (round-4
+        # adjudication); candidate volume still grows wave-over-wave by design
+        n_shards = 6
         shards = [links_w.filter(F.col("page_id") % n_shards == i) for i in range(n_shards)]
         run_wave(spark, wh, bloom_cfg, pairs_w, robots_w, shards[0], collect_lineage=False)
-        committed = []
+        committed = []  # (sec, candidates) — committed waves carry the GROWING
+        # deferred frontier, so per-candidate cost is the size-comparable unit
+        # (BENCH/BASELINE.md round-4 re-baseline)
         for shard in shards[1:]:
             t0 = time.perf_counter()
             m = run_wave(spark, wh, bloom_cfg, pairs_w, robots_w, shard, collect_lineage=False)
-            committed.append(time.perf_counter() - t0)
+            committed.append((time.perf_counter() - t0, m["counters"]["candidates"]))
             assert m["counters"]["scheduled"] > 0  # timed waves must do real work
-        per_q["wave_committed_bloom"] = round(min(committed), 3)
+        per_q["wave_committed_bloom"] = round(min(s for s, _ in committed), 3)
+        best_sec, best_cands = min(committed, key=lambda t: t[0] / max(t[1], 1))
+        committed_us_per_cand = round(1e6 * best_sec / max(best_cands, 1), 1)
         # commit overhead ratio: committed wave vs an UNCOMMITTED stateless
-        # wave over ONE quarter shard. This is an UPPER BOUND on warehouse
+        # wave over ONE 1/n_shards input shard. This is an UPPER BOUND on warehouse
         # round-trip cost, not an isolation of it: the committed numerator
         # also pays real per-wave work the stateless denominator has no
         # analog for (frontier-merge dedup window over accumulated deferred
@@ -196,8 +203,15 @@ def run_headline() -> dict:
                 spark, fx_dir, bloom_cfg, links_filter=f"page_id % {n_shards} = 1"
             )
             plain.append(sec)
-        per_q["wave_quarter_uncommitted"] = round(min(plain), 3)
-        commit_overhead_ratio = round(min(committed) / min(plain), 3)
+        per_q["wave_shard_uncommitted"] = round(min(plain), 3)
+        commit_overhead_ratio = round(min(s for s, _ in committed) / min(plain), 3)
+        # size-comparable unit (untimed candidate count of the comparison shard)
+        from crawlingathome_worker_spark.operators.parse import parse_links
+
+        shard_cands = parse_links(
+            links_w.filter(f"page_id % {n_shards} = 1"), bloom_cfg
+        ).count()
+        uncommitted_us_per_cand = round(1e6 * min(plain) / max(shard_cands, 1), 1)
     finally:
         shutil.rmtree(wh_dir, ignore_errors=True)
 
@@ -224,6 +238,11 @@ def run_headline() -> dict:
             "pairs_filtered_per_sec": round(counts["ok"] / wave_sec, 1),
             "images_decoded_per_sec": round(n_imgs / dec_sec, 1),
             "commit_overhead_ratio": commit_overhead_ratio,
+            # per-candidate cost is the size-comparable committed-vs-uncommitted
+            # unit: committed waves carry the accumulated deferred frontier, so
+            # the raw ratio compares growing work against one fixed input shard
+            "committed_us_per_candidate": committed_us_per_cand,
+            "uncommitted_us_per_candidate": uncommitted_us_per_cand,
             "fixture_scale": BENCH_FIXTURE_SCALE,
         },
     }
