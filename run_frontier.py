@@ -36,6 +36,12 @@ def main() -> None:
     )
     ap.add_argument("--buckets", type=int, default=32, help="pairs_bucketed bucket count")
     ap.add_argument(
+        "--ingest-only", action="store_true",
+        help="run the one-time bucketed pairs ingest and exit — the multi-"
+        "driver workflow (sources/bucketed.py ownership model): ONE driver "
+        "ingests, then every worker driver starts against the shared table",
+    )
+    ap.add_argument(
         "--gc", type=int, default=0, metavar="KEEP",
         help="after the run, expire snapshots keeping the newest KEEP",
     )
@@ -79,6 +85,14 @@ def main() -> None:
     wh = Warehouse(args.warehouse)
     links = spark.read.parquet(os.path.join(fx, "wat_links.parquet"))
     pairs_path = os.path.join(fx, "pairs.parquet")
+    if args.ingest_only:
+        from crawlingathome_worker_spark.sources.bucketed import ensure_bucketed_pairs
+
+        df = ensure_bucketed_pairs(spark, pairs_path, buckets=args.buckets)
+        print(json.dumps({"ingested": "pairs_bucketed", "rows": df.count(),
+                          "buckets": args.buckets}))
+        spark.stop()
+        return
     if args.plain_pairs:
         pairs = spark.read.parquet(pairs_path)
     else:

@@ -144,8 +144,14 @@ def test_ingest_lock_contention_fails_loudly(spark, fx_dir):
     the other driver (ADVICE r3); a stale (crashed-ingester) lock is swept."""
     import pytest
 
+    import shutil
+
     src = os.path.join(fx_dir, "pairs.parquet")
     wdir = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    # start from no prior ingest: a valid on-disk marker from an earlier run
+    # would legitimately satisfy the lock-free attach fast-path
+    spark.sql("DROP TABLE IF EXISTS pairs_bucketed_lock")
+    shutil.rmtree(os.path.join(wdir, "pairs_bucketed_lock"), ignore_errors=True)
     lock = os.path.join(wdir, "_pairs_bucketed_lock.ingest.lock")
     with open(lock, "w") as f:
         f.write("99999")  # simulated live holder (fresh mtime)
@@ -178,3 +184,47 @@ def test_torn_marker_self_heals(spark, fx_dir):
 
     with open(marker) as f:
         assert json.load(f)["buckets"] == 4  # marker rewritten whole
+
+
+def test_fresh_process_attaches_without_reingest(spark, fx_dir):
+    """The catalog is per-process (in-memory, no Hive metastore): a fresh
+    driver must re-ATTACH an existing valid ingest (register the directory,
+    keep the bucket spec) — never re-pay the ingest shuffle. Before round 4
+    every process restart silently re-bucketed the whole table."""
+    import subprocess
+    import sys
+
+    from crawlingathome_worker_spark.sources.bucketed import _table_location
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(fx_dir, "pairs.parquet")
+    n = spark.read.parquet(src).count()
+    ensure_bucketed_pairs(spark, src, table="pairs_bucketed_attach", buckets=4)
+    loc = _table_location(spark, "pairs_bucketed_attach")
+    before = sorted(os.listdir(loc))
+    marker_mtime = os.path.getmtime(os.path.join(loc, "_bucketed_ingest.json"))
+
+    script = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from crawlingathome_worker_spark.session import get_spark
+from crawlingathome_worker_spark.sources.bucketed import ensure_bucketed_pairs
+spark = get_spark(app_name="attach-check", master="local[4]", shuffle_partitions=4)
+df = ensure_bucketed_pairs(spark, {src!r}, table="pairs_bucketed_attach", buckets=4)
+print("ROWS", df.count())
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+j = df.alias("a").join(df.select("image_id", "w").alias("b"), "image_id")
+j.collect()
+plan = j._jdf.queryExecution().executedPlan().toString()
+print("BUCKETED", "Bucketed: true" in plan)
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, cwd=repo, timeout=300
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"ROWS {n}" in r.stdout  # attached table serves the full data
+    assert "BUCKETED True" in r.stdout  # and keeps the shuffle-free property
+    # the data files and marker are UNTOUCHED — attach, not re-ingest
+    assert sorted(os.listdir(loc)) == before
+    assert os.path.getmtime(os.path.join(loc, "_bucketed_ingest.json")) == marker_mtime
