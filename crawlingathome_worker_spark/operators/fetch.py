@@ -57,6 +57,11 @@ def simulated_fetch(scheduled: DataFrame, pairs: DataFrame) -> DataFrame:
     `pairs` may be huge at design scale — this join shuffles both sides on
     image_id (sort-merge / shuffled-hash, Catalyst's choice + AQE); scheduled is
     the small side after politeness, so AQE usually demotes it to broadcast.
+
+    Data contract: `pairs` is unique per image_id (one body per URL — the
+    reference fetches each URL once). A duplicate key would fan this join out,
+    duplicating sample_ids in the output and inflating the wave's scheduled
+    count; dedupe the bytes source at ingest if that can ever occur.
     """
     return scheduled.join(pairs.select("image_id", "bytes"), "image_id", "left")
 

@@ -490,12 +490,10 @@ def run_wave(
             f_fold = ex.submit(
                 _timed("bloom_fold", lambda: next_merged.localCheckpoint(eager=True))
             )
-        elif not fold_needed and f_fold is not None:
-            # unreachable today (optimistic ⇒ input wave ⇒ next_merged is a
-            # fresh merge), but a future re-keying path must not leak the
-            # already-running checkpoint
-            _release_checkpoint(f_fold.result())
-            f_fold = None
+        # optimistic ⇒ input wave ⇒ next_merged is a fresh merge, so a
+        # submitted fold is always needed; a future re-keying path that breaks
+        # this invariant must also release the checkpoint it no longer wants
+        assert f_fold is None or fold_needed
         f_lin = (
             (
                 ex.submit(_timed("lineage_sched", _lineage), scheduled),
@@ -527,6 +525,14 @@ def run_wave(
         # wrong counters. The pipeline only narrows, so
         # candidates >= unseen >= scheduled + deferred must hold; a violation
         # triggers the count() fallback over the persisted frames.
+        # Scope (review r4): the guard is ONE-SIDED — it catches lost/split
+        # attribution (under-count), not a proportional over-attribution that
+        # inflates candidates and unseen together; exactness itself is pinned
+        # by the e2e counters≡oracle tests. It also leans on the fetch data
+        # contract that `pairs` is unique per image_id (simulated_fetch is a
+        # left join, so duplicate pairs keys would inflate n_scheduled and
+        # falsely trip the fallback — and would already duplicate output
+        # sample_ids, a corruption upstream of any counter).
         if not (
             counters["candidates"]
             >= counters["unseen"]

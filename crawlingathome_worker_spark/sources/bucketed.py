@@ -25,13 +25,18 @@ import contextlib
 import hashlib
 import json
 import os
+import threading
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-# a lock older than this is a crash leftover and may be broken (same age-gate
-# convention as the warehouse's commit-tmp sweep)
-LOCK_STALE_SECONDS = 3600.0
+from ..state.snapshots import Warehouse
+
+# a lock older than this WITHOUT a heartbeat is a crash leftover (the live
+# holder refreshes mtime — see _ingest_lock); one shared age-gate constant
+# with the warehouse's commit-tmp sweep so tuning one tunes both
+LOCK_STALE_SECONDS = Warehouse.TMP_GC_AGE_SECONDS
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
@@ -106,27 +111,54 @@ def _source_fingerprint(src: DataFrame) -> dict:
 def _ingest_lock(spark: SparkSession, table: str):
     """O_EXCL lock file in the warehouse root guarding the rebuild: two
     drivers sharing a warehouse racing the ingest would otherwise DROP TABLE +
-    rmtree under each other's writes. Stale locks (crashed ingester) are
-    age-swept; a LIVE concurrent ingest raises instead of waiting (callers are
-    batch jobs — failing loudly beats silently doubling a 100 TB shuffle).
-    Best-effort by design: on a filesystem where the warehouse root is not
-    locally creatable the guard degrades to the documented single-driver
-    ownership."""
+    rmtree under each other's writes. A LIVE concurrent ingest raises instead
+    of waiting (callers are batch jobs — failing loudly beats silently
+    doubling a 100 TB shuffle).
+
+    Liveness/staleness protocol (review round 4):
+    - The HOLDER refreshes the lock's mtime from a daemon heartbeat thread,
+      so a multi-hour design-point ingest never looks stale — the age gate
+      only ever fires on a crashed holder.
+    - A stale lock is swept by RENAME to a sweeper-unique name, then unlinked:
+      exactly one of several concurrent sweepers wins the rename, so a loser
+      can never unlink the winner's freshly created lock (the unlink-based
+      sweep had that TOCTOU).
+    Best-effort by design: where the warehouse root is not a writable local
+    path the guard degrades to the documented single-driver ownership."""
     loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    lock = os.path.join(loc.removeprefix("file:"), f"_{table}.ingest.lock")
+    root = loc.removeprefix("file:")
+    lock = os.path.join(root, f"_{table}.ingest.lock")
     fd = None
+    try:
+        os.makedirs(root, exist_ok=True)  # lazy warehouse dirs: the first-ever
+        # ingest is exactly when two drivers are most likely to race
+    except OSError:
+        pass
     for _ in range(2):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            try:
+                os.write(fd, str(os.getpid()).encode())
+            except OSError:
+                os.close(fd)
+                fd = None
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)  # never strand a live-looking empty lock
+                raise
             break
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock) > LOCK_STALE_SECONDS:
-                    os.unlink(lock)  # crash leftover — sweep and retry once
-                    continue
+                stale = time.time() - os.path.getmtime(lock) > LOCK_STALE_SECONDS
             except OSError:
-                pass  # holder released it between the check and the sweep
+                continue  # holder released between check and stat — retry acquire
+            if stale:
+                swept = lock + f".sweep.{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock, swept)  # one sweeper wins; losers retry acquire
+                    os.unlink(swept)
+                except OSError:
+                    pass
+                continue
             raise RuntimeError(
                 f"bucketed ingest of {table!r} already in progress (lock {lock}); "
                 "ingest is single-driver — rerun after the other driver finishes"
@@ -134,15 +166,30 @@ def _ingest_lock(spark: SparkSession, table: str):
         except OSError:
             yield  # non-local warehouse root: degrade to documented ownership
             return
+    if fd is None:
+        # both acquisition attempts lost (e.g. a racing sweeper re-created the
+        # lock): a live ingest is in progress elsewhere
+        raise RuntimeError(
+            f"bucketed ingest of {table!r} already in progress (lock {lock}); "
+            "ingest is single-driver — rerun after the other driver finishes"
+        )
+    stop = threading.Event()
+
+    def _heartbeat():
+        while not stop.wait(LOCK_STALE_SECONDS / 4):
+            with contextlib.suppress(OSError):
+                os.utime(lock)
+
+    hb = threading.Thread(target=_heartbeat, daemon=True, name=f"ingest-lock-{table}")
+    hb.start()
     try:
         yield
     finally:
-        if fd is not None:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+        stop.set()
+        hb.join(timeout=5)
+        os.close(fd)
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
 
 
 def ensure_bucketed_pairs(

@@ -228,3 +228,25 @@ spark.stop()
     # the data files and marker are UNTOUCHED — attach, not re-ingest
     assert sorted(os.listdir(loc)) == before
     assert os.path.getmtime(os.path.join(loc, "_bucketed_ingest.json")) == marker_mtime
+
+
+def test_live_lock_heartbeat_prevents_stale_sweep(spark, monkeypatch):
+    """A live multi-hour ingest must never look stale: the holder's heartbeat
+    refreshes the lock mtime, so a second driver arriving after the age gate
+    raises instead of sweeping the live lock and racing the rebuild (review
+    r4 finding)."""
+    import time
+
+    import pytest
+
+    import crawlingathome_worker_spark.sources.bucketed as B
+
+    monkeypatch.setattr(B, "LOCK_STALE_SECONDS", 0.8)
+    with B._ingest_lock(spark, "pairs_hb_test"):
+        time.sleep(1.2)  # older than the (patched) gate; heartbeat keeps it fresh
+        with pytest.raises(RuntimeError, match="already in progress"):
+            with B._ingest_lock(spark, "pairs_hb_test"):
+                pass
+    # released on exit: a fresh acquisition now succeeds
+    with B._ingest_lock(spark, "pairs_hb_test"):
+        pass
