@@ -425,3 +425,38 @@ def test_pre_shard_key_warehouse_fails_loudly(spark, fx_dir, tmp_path):
     wh2 = Warehouse(str(tmp_path / "wh_drain"))
     run_wave(spark, wh2, cfg, pairs, robots, None, collect_lineage=False)
     run_job(spark, wh2, cfg, [links], pairs, robots)  # no raise
+
+
+def test_gc_reclaims_commit_loser_orphans_age_gated(spark, tmp_path):
+    """Writer-unique table dirs (round 4) make commit-race losers leave
+    UNREFERENCED orphan dirs; gc()'s sweep must reclaim them once aged, but
+    never young ones — a young unreferenced dir may be a live writer's
+    in-flight (not yet committed) data."""
+    import os
+    import time as _time
+
+    wh = Warehouse(str(tmp_path / "wh_orphan"))
+    m = wh.new_manifest(None)
+    df = spark.createDataFrame([("k1",)], "pair_md5 string")
+    m["tables"]["frontier"] = [wh.write_table(df, "frontier", 0)]
+    wh.commit(m)
+
+    # simulate a loser: same snapshot id, different (writer-unique) dir, no
+    # manifest pointer
+    orphan_rel = os.path.join("tables", "frontier", "snap000000-deadbeef")
+    orphan = os.path.join(wh.root, orphan_rel)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+        f.write("x")
+
+    # young orphan: survives (grace gate)
+    assert wh.gc(keep_last=5) == []
+    assert os.path.isdir(orphan)
+
+    # aged orphan: reclaimed; the committed winner dir is untouched
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    deleted = wh.gc(keep_last=5)
+    assert orphan_rel in deleted
+    assert not os.path.exists(orphan)
+    assert wh.read_table(spark, wh.latest(), "frontier").count() == 1
