@@ -522,11 +522,47 @@ def g30_wave_flagship(sf_dir: str, fx_dir: str) -> pa.Table:
     )
 
 
+def _from_json_str(v):
+    """Mirror Spark from_json's StringType coercion (probed on Spark 4.1.2):
+    a non-string JSON value in a string-typed field is re-rendered as its
+    compact JSON text — booleans lowercase, ints verbatim (BigInteger),
+    objects/arrays compact with preserved key order, doubles in Java
+    E-notation ('1.0E30'). Residual: Java switches doubles to E-notation at
+    1e7 where Python switches at 1e16, so exotic float magnitudes can render
+    differently; real WAT urls/alts are strings, and the differential test
+    (tests/test_wat_source.py) covers the common coercions."""
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        import json as _json
+
+        r = repr(v)
+        if "e" in r:
+            m, e = r.split("e")
+            if "." not in m:
+                m += ".0"
+            return f"{m}E{int(e)}"
+        return r
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
 def g42_wat_scan(sf_dir: str, fx_dir: str) -> pa.Table:
     """Independent parse of the RAW WAT text (S1/F1/F2/F3): the literal
     reference control flow — line scan, "IMG@" substring prefilter BEFORE the
     JSON parse, Links projection, per-link enumeration — re-derived with plain
-    json.loads (crawlingathome.py:42-49; no Spark, no sources/wat.py)."""
+    json.loads (crawlingathome.py:42-49; no Spark, no sources/wat.py).
+
+    Structurally-off-but-valid JSON follows from_json's PERMISSIVE semantics
+    exactly (probed, and pinned by the differential test): a non-array Links
+    or a scalar/array ELEMENT anywhere in Links nulls the whole array (line
+    dropped); null elements survive with their positions; non-string values
+    in string fields coerce via _from_json_str."""
     import json
 
     page_urls, poss, link_urls, alts = [], [], [], []
@@ -550,14 +586,22 @@ def g42_wat_scan(sf_dir: str, fx_dir: str) -> pa.Table:
                 continue
             if page_url is None or links is None:
                 continue
+            page_url = _from_json_str(page_url)
+            if not isinstance(links, list):
+                continue  # from_json: non-array Links → null → line dropped
+            if any(not (e is None or isinstance(e, dict)) for e in links):
+                # from_json: one scalar/array element nulls the WHOLE array
+                continue
             for pos, link in enumerate(links):
-                url = link.get("url") if isinstance(link, dict) else None
+                if link is None:
+                    continue  # null elements keep their position, emit no row
+                url = _from_json_str(link.get("url"))
                 if url is None:
                     continue
                 page_urls.append(page_url)
                 poss.append(pos)
                 link_urls.append(url)
-                alts.append(link.get("alt"))
+                alts.append(_from_json_str(link.get("alt")))
     return pa.table(
         {
             "page_url": pa.array(page_urls, pa.string()),

@@ -67,3 +67,51 @@ def test_gzipped_wat_reads_identically(spark, fx_dir, tmp_path):
     a = sorted(tuple(r) for r in plain.select(*cols).collect())
     b = sorted(tuple(r) for r in gzed.select(*cols).collect())
     assert a == b and len(a) > 1000
+
+
+def test_oracle_mirrors_from_json_on_structurally_off_lines(spark, tmp_path):
+    """Differential: the g42 oracle must DROP and KEEP exactly what the
+    engine's from_json pipeline drops and keeps on structurally-off-but-valid
+    JSON (ADVICE r3 + round-4 probe: non-array Links and scalar/array
+    elements null the whole array; null elements keep positions; non-string
+    values in string fields coerce to compact JSON text)."""
+    import json
+
+    from tests.golden_queries import g42_wat_scan
+
+    E = lambda uri, links: {
+        "Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+            "Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {"Links": links}}},
+        }
+    }
+    lines = [
+        "not json at all IMG@",
+        json.dumps({"Envelope": "IMG@ string envelope"}),
+        json.dumps(E("http://a/IMG@", "IMG@ string links")),
+        json.dumps(E("http://a/IMG@", {"IMG@k": "v"})),
+        json.dumps(E("http://a/IMG@", [123, {"url": "http://x/IMG@.jpg", "alt": "a"}])),
+        json.dumps(E("http://a/IMG@", [["IMG@nested"], {"url": "http://x/IMG@.jpg"}])),
+        json.dumps(E("http://b/IMG@", [None, {"url": "http://y/IMG@.jpg", "alt": "ok"}])),
+        json.dumps(E("http://c/IMG@", [{"url": None, "alt": "IMG@"}, {"url": "http://z/IMG@.png"}])),
+        json.dumps(E("http://d/IMG@", [{"url": 123, "alt": True}])),
+        json.dumps(E("http://e/IMG@", [{"url": {"a": 1}, "alt": ["x", 2]}])),
+        json.dumps(E(99, [{"url": "http://f/IMG@.gif", "alt": 1.5}])),
+        json.dumps(E("http://g/IMG@", [])),
+        json.dumps(E("http://h/IMG@", [{"alt": "no url IMG@"}])),
+        json.dumps(E("http://i/IMG@", [{"url": "http://ok/IMG@.jpg", "alt": "fine", "extra": {"deep": [1]}}])),
+        json.dumps(E("http://no-marker/", [{"url": "http://q/x.jpg"}])).replace("IMG@", "IMGAT"),
+    ]
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    (fx / "wat_lines.txt").write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    from crawlingathome_worker_spark.sources.wat import read_wat_lines
+
+    engine = sorted(
+        (r["page_url"], r["pos"], r["link_url"], r["alt"])
+        for r in read_wat_lines(spark, str(fx / "wat_lines.txt")).collect()
+    )
+    oracle_tbl = g42_wat_scan("", str(fx)).to_pylist()
+    oracle = sorted((r["page_url"], r["pos"], r["link_url"], r["alt"]) for r in oracle_tbl)
+    assert engine == oracle and len(engine) > 0, (engine, oracle)
