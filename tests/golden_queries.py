@@ -538,8 +538,6 @@ def _from_json_str(v):
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
-        import json as _json
-
         r = repr(v)
         if "e" in r:
             m, e = r.split("e")
