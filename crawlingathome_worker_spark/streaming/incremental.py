@@ -8,8 +8,10 @@ frame, so the exact same run_wave plan (and its snapshot commit) executes, givin
 end-to-end exactly-once: Spark's streaming checkpoint dedups input files, the
 warehouse manifest dedups output/state commits.
 
-There is no event time in this workload (SURVEY.md §2.6: no watermarks — waves
-are processing-time tumbling batches), so no watermark is configured.
+There is no event time in the FRONTIER workload (SURVEY.md §2.6: waves are
+processing-time tumbling batches), so no watermark is configured here; the
+event-time + watermark streaming form lives where event time exists — the
+events rollup in streaming/windowed.py.
 """
 
 from __future__ import annotations
