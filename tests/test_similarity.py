@@ -167,7 +167,10 @@ def test_recall_calibration_at_sf01(spark):
     fps = {d["doc_id"]: _simhash(d["text"]) for d in docs}
     radius = 3
     dids = sorted(fps)
-    fp_arr = np.array([fps[d] for d in dids], dtype=np.uint64)
+    # fingerprints are signed 64-bit (Spark long); build via int64 then
+    # REINTERPRET the bits — a direct uint64 construction from negative
+    # Python ints is deprecated and becomes an error on a future numpy
+    fp_arr = np.array([fps[d] for d in dids], dtype=np.int64).view(np.uint64)
     # popcount via bit tricks: hamming(a,b) over all pairs, vectorized per row
     want = set()
     for i in range(len(dids)):
