@@ -90,6 +90,13 @@ class EngineConfig:
     # compacted into a new base. At the 24 GB design point this turns a per-wave
     # 24 GB state rewrite into a keys-only append + one compaction per N waves.
     bloom_compact_every: int = 8
+    # saturation alarm: each committed bloom wave emits the parsed bloom's
+    # fill ratio (fraction of set bits vs the DESIGN total) in its manifest;
+    # past this threshold the wave WARNs — an over-filled bloom silently
+    # raises FPR, and a false "seen" silently drops candidates forever. At
+    # an optimally-sized filter the fill at rated capacity is 1 - e^(-ln 2)
+    # = 0.5, so crossing 0.5 means the filter is at/beyond design capacity.
+    bloom_warn_fill: float = 0.5
     # Simulation shim: with no live network, a fetch is a join against the pairs
     # table on image_id. When the input (raw WAT lines) carries no image_id
     # column, it is recovered from the URL path by this regex — the stand-in for

@@ -28,7 +28,7 @@ from ..operators.parse import parse_links
 from ..operators.politeness import politeness_split, robots_gate
 from ..operators.schedule import assign_sample_ids, unpersist_sample_ids
 from ..state.bloom import STATE_SCHEMA as BLOOM_STATE_SCHEMA
-from ..state.bloom import bloom_add, seen_gate_bloom
+from ..state.bloom import bloom_add, bloom_fill_ratio, seen_gate_bloom
 from ..state.cuckoo import STATE_SCHEMA as CUCKOO_STATE_SCHEMA
 from ..state.cuckoo import cuckoo_update
 from ..state.snapshots import Warehouse
@@ -494,6 +494,19 @@ def run_wave(
         # submitted fold is always needed; a future re-keying path that breaks
         # this invariant must also release the checkpoint it no longer wants
         assert f_fold is None or fold_needed
+        # bloom saturation health (VERDICT r4 item 3): popcount the freshly
+        # folded bits as a pool job chained on the fold — it overlaps the
+        # lineage/counters/metrics tail, so the per-wave cost is one scan of
+        # already-cached checkpoint blocks, off the critical path. An
+        # over-filled bloom silently raises FPR and a false "seen" silently
+        # drops candidates forever, so saturation must surface in metrics.
+        f_fill = (
+            ex.submit(
+                _timed("bloom_fill", lambda: bloom_fill_ratio(f_fold.result(), cfg.bloom))
+            )
+            if f_fold is not None
+            else None
+        )
         f_lin = (
             (
                 ex.submit(_timed("lineage_sched", _lineage), scheduled),
@@ -548,10 +561,33 @@ def run_wave(
                 "output": f_lin[1].result(),
             }
 
+        # bloom saturation: gather the fill ratio so it rides BOTH the
+        # manifest and the metrics table; waves that leave the bloom state
+        # untouched carry the parent's value forward (still current).
+        fill = f_fill.result() if f_fill is not None else None
+        if fill is None and cfg.dedup_mode == "bloom" and parent:
+            fill = parent.get("bloom_fill_ratio")
+        if fill is not None:
+            fill = round(float(fill), 6)  # one rounding, shared by manifest + ppm row
+            manifest["bloom_fill_ratio"] = fill
+            if fill > cfg.bloom_warn_fill:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "parsed bloom fill ratio %.3f exceeds %.2f — the filter is "
+                    "at/beyond design capacity, its FPR is degrading and false "
+                    "\"seen\" verdicts will silently drop candidates; recompact "
+                    "into a larger BloomParams.capacity",
+                    fill,
+                    cfg.bloom_warn_fill,
+                )
+
         # stage C — metrics table: totals (partition_id = -1) + per-partition
         # lineage rows (north_rule: per-partition fetched/filtered/rejected
         # counters); needs the gathered counters, overlaps the remaining tail
         metric_rows = [(wave_no, k, -1, int(v)) for k, v in counters.items()]
+        if fill is not None:
+            metric_rows.append((wave_no, "bloom_fill_ppm", -1, int(round(fill * 1_000_000))))
         for stage, parts in manifest.get("lineage", {}).items():
             metric_rows += [(wave_no, stage, p["partition_id"], p["n"]) for p in parts]
         metrics = spark.createDataFrame(

@@ -196,8 +196,19 @@ def seen_gate_bloom(
     )
 
 
-def bloom_fill_ratio(state: DataFrame) -> float:
-    """Diagnostic: fraction of set bits (spark-side popcount via mapInPandas)."""
+def bloom_fill_ratio(state: DataFrame, params: BloomParams | None = None) -> float:
+    """Fraction of set bits (spark-side popcount via mapInPandas).
+
+    With `params`, the denominator is the DESIGN total (params.total_bits), so
+    unmaterialized partitions of a sparse state count as genuinely all-zero;
+    without it, the ratio is over materialized partitions only (uniform
+    hashing materializes every partition within the first non-trivial wave,
+    so the two converge immediately in practice).
+
+    This is the saturation health metric the wave loop emits per commit
+    (plans/wave.py): a bloom filled past its design point silently raises FPR,
+    and a false "seen" silently drops a crawl candidate forever — the failure
+    is invisible in outputs, so it must be visible in metrics."""
 
     def count_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,4 +219,5 @@ def bloom_fill_ratio(state: DataFrame) -> float:
     agg = state.mapInPandas(count_bits, "ones long, total long").agg(
         F.sum("ones").alias("o"), F.sum("total").alias("t")
     ).collect()[0]
-    return (agg["o"] or 0) / max(agg["t"] or 1, 1)
+    denom = params.total_bits if params is not None else (agg["t"] or 1)
+    return (agg["o"] or 0) / max(denom, 1)

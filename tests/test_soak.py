@@ -161,3 +161,71 @@ def test_release_checkpoint_warns_loudly_on_failure(spark, caplog):
         assert not caplog.records
     finally:
         wave_mod._release_warned = False
+
+
+def test_bloom_fill_ratio_emitted_and_warns_when_saturated(
+    spark, fx_dir, tmp_path_factory, caplog
+):
+    """VERDICT r4 item 3: every committed bloom wave must surface the parsed
+    bloom's fill ratio (manifest + metrics table), and a filter pushed past
+    its design capacity must WARN — at design scale a saturating bloom
+    silently raises FPR and silently drops candidates as false "seen"."""
+    import logging
+
+    from crawlingathome_worker_spark.config import BloomParams, CuckooParams
+    from crawlingathome_worker_spark.state.bloom import bloom_fill_ratio
+
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    logger = "crawlingathome_worker_spark.plans.wave"
+
+    # healthy filter: ratio present, matches an independent recount, no warn
+    wh = Warehouse(str(tmp_path_factory.mktemp("fill_wh")))
+    # reference_strict: no cuckoo retry slots, so error rows are not re-offered
+    # every wave and the frontier actually drains to a zero-schedule wave
+    # wave_seconds > 0 so crawl_delay hosts get a non-zero budget (they
+    # defer forever otherwise) and the frontier drains to a zero-schedule wave
+    cfg = EngineConfig(
+        default_host_budget=500, wave_seconds=600.0, dedup_mode="bloom",
+        reference_strict=True,
+    )
+    with caplog.at_level(logging.WARNING, logger=logger):
+        m = run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False)
+    fill = m["bloom_fill_ratio"]
+    assert 0.0 < fill < cfg.bloom_warn_fill
+    state = wh.read_table(spark, m, "bloom_parsed", "part int, bits binary")
+    deltas = wh.read_table(spark, m, "bloom_parsed_delta", "pair_md5 string")
+    from crawlingathome_worker_spark.state.bloom import bloom_add
+
+    merged = bloom_add(state, deltas, cfg.bloom, key="pair_md5") if deltas is not None else state
+    assert abs(bloom_fill_ratio(merged, cfg.bloom) - fill) < 1e-6
+    rows = wh.read_table(spark, m, "metrics").filter("counter = 'bloom_fill_ppm'").collect()
+    assert [r["value"] for r in rows] == [int(round(fill * 1_000_000))]
+    assert not any("fill ratio" in r.getMessage() for r in caplog.records)
+
+    # a drain wave that changes no state carries the parent's ratio forward:
+    # drain until a wave schedules nothing (deferred rows may need a few)
+    m2 = m
+    for _ in range(20):
+        prev_fill = m2["bloom_fill_ratio"]
+        m2 = run_wave(spark, wh, cfg, pairs, robots, wat_links=None)
+        if m2["counters"]["scheduled"] == 0:
+            break
+    assert m2["counters"]["scheduled"] == 0, "fixture never drained"
+    assert m2["bloom_fill_ratio"] == prev_fill
+
+    # undersized filter: same pipeline, capacity 16 — saturates and warns
+    caplog.clear()
+    wh2 = Warehouse(str(tmp_path_factory.mktemp("sat_wh")))
+    cfg2 = EngineConfig(
+        default_host_budget=500,
+        wave_seconds=0.0,
+        dedup_mode="bloom",
+        bloom=BloomParams(capacity=16, fpr=0.01, partitions=2),
+        cuckoo=CuckooParams(partitions=2),
+    )
+    with caplog.at_level(logging.WARNING, logger=logger):
+        m3 = run_wave(spark, wh2, cfg2, pairs, robots, links, collect_lineage=False)
+    assert m3["bloom_fill_ratio"] > cfg2.bloom_warn_fill
+    assert any("fill ratio" in r.getMessage() for r in caplog.records)
