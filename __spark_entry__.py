@@ -592,6 +592,42 @@ def q43_dataset_finalize(spark, sf_dir):
     )
 
 
+def q44_streaming_hourly_finalized(spark, sf_dir):
+    """Streaming watermark rollup RUN TO COMPLETION (streaming/windowed.py —
+    VERDICT r4 item 2): readStream over the events table → 1-hour tumbling
+    windows with a 1-hour event-time watermark → append-mode memory sink, so
+    only windows the terminal watermark (max ts − 1 h) has passed emit. The
+    oracle is the q14 batch aggregation restricted to exactly those finalized
+    windows. Deterministic because the watermark after all data is processed
+    is order-independent (a max), and Spark's no-data final micro-batch
+    flushes every window the terminal watermark passed — the late-data
+    semantics themselves are pinned by tests/test_streaming_window.py."""
+    import tempfile
+    import uuid
+
+    from crawlingathome_worker_spark.streaming.windowed import hourly_event_counts_stream
+
+    name = f"q44_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q44_ckpt_")
+    # events.parquet is a single FILE in the testdata layout; the file stream
+    # source requires its basePath to be a directory, so address it through a
+    # character-class glob — basePath resolves to sf_dir, matches only events
+    path = os.path.join(sf_dir, "events.parque[t]")
+    q = (
+        hourly_event_counts_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -677,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_tpch_q4": q41_tpch_q4,
         "q42_wat_scan": q42_wat_scan,
         "q43_dataset_finalize": q43_dataset_finalize,
+        "q44_streaming_hourly_finalized": q44_streaming_hourly_finalized,
     }
 
 
@@ -872,6 +909,17 @@ def oracle_sql() -> dict[str, str]:
               AND EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        # the q14 batch rollup restricted to windows the terminal watermark
+        # (max ts - 1h) has PASSED: Spark finalizes a window when the
+        # watermark reaches its end (window_end <= watermark emits)
+        "q44_streaming_hourly_finalized": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                  <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+            GROUP BY 1, 2
         """,
         # q19-q22, q24, q26-q35: UDF/LSH/image ops have no direct SQL form; their
         # oracles are GOLDEN PARQUET files computed by an independent non-Spark
