@@ -68,7 +68,32 @@ def _release_checkpoint(df: DataFrame) -> None:
     the wave on cleanup."""
     global _release_warned
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+        # Unpersisting a locally-checkpointed RDD makes Spark WARN that the
+        # lineage is gone — here that is the POINT (the fold is released only
+        # after its successor is committed and durable), and one expected line
+        # per committed wave buries real warnings in a thousand-wave log
+        # (VERDICT r4 item 3). Scope an ERROR-level rule on exactly the
+        # emitting logger around the unpersist; restore afterwards. If the
+        # log4j API shape changes, degrade to the noisy-but-correct release.
+        # (Concurrent releases from pool threads can at worst let one
+        # expected line slip through the window — benign.)
+        prev = None
+        try:
+            log4j = df.sparkSession._jvm.org.apache.logging.log4j
+            lname = "org.apache.spark.rdd.MapPartitionsRDD"
+            prev = log4j.LogManager.getLogger(lname).getLevel()
+            log4j.core.config.Configurator.setLevel(lname, log4j.Level.ERROR)
+        except Exception:
+            prev = None
+        try:
+            jrdd.unpersist(False)
+        finally:
+            if prev is not None:
+                try:
+                    log4j.core.config.Configurator.setLevel(lname, prev)
+                except Exception:
+                    pass
     except Exception as e:
         if not _release_warned:
             _release_warned = True
