@@ -250,3 +250,58 @@ def test_live_lock_heartbeat_prevents_stale_sweep(spark, monkeypatch):
     # released on exit: a fresh acquisition now succeeds
     with B._ingest_lock(spark, "pairs_hb_test"):
         pass
+
+
+def test_inplace_rewrite_with_stable_name_reingests(spark, tmp_path):
+    """ADVICE r4 (medium): a source rewritten IN PLACE with a stable file name
+    (single-file parquet regenerated by pyarrow at the same path) must change
+    the fingerprint — per-file length/mtime ride the hash, not just names —
+    or ensure_bucketed_pairs silently serves the stale bucketed table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "stable_name.parquet")  # a FILE, not a directory
+
+    def write(n):
+        pq.write_table(
+            pa.table({
+                "image_id": [f"img{i:08d}" for i in range(n)],
+                "bytes": [b"x" * 16] * n,
+                "w": list(range(n)),
+            }),
+            src,
+        )
+
+    write(50)
+    df1 = ensure_bucketed_pairs(spark, src, table="pairs_bucketed_inplace", buckets=4)
+    assert df1.count() == 50
+    write(80)  # SAME path, SAME single file name — only content changed
+    df2 = ensure_bucketed_pairs(spark, src, table="pairs_bucketed_inplace", buckets=4)
+    assert df2.count() == 80  # name-only fingerprints would still read 50
+
+
+def test_lock_write_failure_fails_loudly_not_unlocked(spark, monkeypatch):
+    """ADVICE r4 (low): a transient os.write failure on a freshly created lock
+    must propagate — the old bare re-raise fell into the non-local-root
+    degrade branch and ran the DROP TABLE + rmtree ingest with NO lock, the
+    exact race the lock exists to prevent."""
+    import pytest
+
+    from crawlingathome_worker_spark.sources import bucketed
+
+    wdir = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    lock = os.path.join(wdir, "_lock_write_fail_tbl.ingest.lock")
+    if os.path.exists(lock):
+        os.unlink(lock)
+
+    def bad_write(fd, data):
+        raise OSError("injected transient write error")
+
+    monkeypatch.setattr(os, "write", bad_write)
+    try:
+        with pytest.raises(RuntimeError, match="refusing to run the ingest unlocked"):
+            with bucketed._ingest_lock(spark, "lock_write_fail_tbl"):
+                raise AssertionError("entered the ingest body without a lock")
+    finally:
+        monkeypatch.undo()
+    assert not os.path.exists(lock)  # no live-looking empty lock stranded
