@@ -348,11 +348,24 @@ def run_wave(
         return wrapped
 
     ex = _TPE(max_workers=8)
+    # Every pool job below except the metrics write has the cached session
+    # bloom frame somewhere in its lineage (the seen gate feeds everything).
+    # Track those futures so the failure path can tell a GENUINE cache-reader
+    # failure (possible lost checkpoint blocks) from a driver-side failure
+    # that cannot have touched them (ADVICE r4 — scope the cache eviction).
+    cache_readers: list = []
+
+    def _submit(fn, *a, _reads_cache: bool = True, **k):
+        fut = ex.submit(fn, *a, **k)
+        if _reads_cache:
+            cache_readers.append(fut)
+        return fut
+
     try:
-        f_frontier = ex.submit(
+        f_frontier = _submit(
             _timed("frontier", wh.write_table), frontier_out, "frontier", snap_id
         )
-        f_out = ex.submit(_timed("pairs_out", wh.write_table), out, "pairs_out", snap_id)
+        f_out = _submit(_timed("pairs_out", wh.write_table), out, "pairs_out", snap_id)
 
         # OPTIMISTIC stage B (input waves only — see the pool comment above):
         # state-write content never depends on the status counts, so the jobs
@@ -374,42 +387,42 @@ def run_wave(
         if wat_links is not None:
             if cfg.dedup_mode == "bloom":
                 if will_compact:
-                    opt["bloom_parsed"] = ex.submit(
+                    opt["bloom_parsed"] = _submit(
                         _timed("bloom_parsed", wh.write_table),
                         plan_added, "bloom_parsed", snap_id,
                     )
                 else:
-                    opt["bloom_parsed_delta"] = ex.submit(
+                    opt["bloom_parsed_delta"] = _submit(
                         _timed("bloom_parsed_delta", wh.write_table),
                         plan_delta, "bloom_parsed_delta", snap_id,
                     )
                 if cfg.reference_strict:
                     if not parent_tables.get("cuckoo_state"):
-                        opt["cuckoo_state"] = ex.submit(
+                        opt["cuckoo_state"] = _submit(
                             _timed("cuckoo_state", wh.write_table),
                             cuckoo, "cuckoo_state", snap_id,
                         )
                 elif parent_cuckoo_nonempty:
                     # needed whenever anything was attempted; a rare empty
                     # input wave leaves it an unregistered orphan
-                    opt["cuckoo_state"] = ex.submit(
+                    opt["cuckoo_state"] = _submit(
                         _timed("cuckoo_state", wh.write_table),
                         plan_cuckoo, "cuckoo_state", snap_id,
                     )
                 # input waves always fold: plan_added is a fresh merge, never
                 # the cached frame (see the fold comment below for semantics)
-                f_fold = ex.submit(
+                f_fold = _submit(
                     _timed("bloom_fold", lambda: plan_added.localCheckpoint(eager=True))
                 )
             else:
-                opt["seen_keys"] = ex.submit(
+                opt["seen_keys"] = _submit(
                     _timed("seen_keys", wh.write_table), plan_seen, "seen_keys", snap_id
                 )
-                opt["retry_keys"] = ex.submit(
+                opt["retry_keys"] = _submit(
                     _timed("retry_keys", wh.write_table), plan_retry, "retry_keys", snap_id
                 )
 
-        status_counts = ex.submit(
+        status_counts = _submit(
             _timed(
                 "status",
                 lambda: {
@@ -431,7 +444,7 @@ def run_wave(
             cuckoo when the parent table was empty)."""
             fut = opt.pop(name, None)
             if fut is None:
-                fut = ex.submit(_timed(name, wh.write_table), df, name, snap_id)
+                fut = _submit(_timed(name, wh.write_table), df, name, snap_id)
             state_futs.append((fut, setter))
 
         if cfg.dedup_mode == "bloom":
@@ -512,7 +525,7 @@ def run_wave(
             old_cache is not None and next_merged is old_cache["df"]
         )
         if fold_needed and f_fold is None:  # drain wave that changed state
-            f_fold = ex.submit(
+            f_fold = _submit(
                 _timed("bloom_fold", lambda: next_merged.localCheckpoint(eager=True))
             )
         # optimistic ⇒ input wave ⇒ next_merged is a fresh merge, so a
@@ -526,7 +539,7 @@ def run_wave(
         # over-filled bloom silently raises FPR and a false "seen" silently
         # drops candidates forever, so saturation must surface in metrics.
         f_fill = (
-            ex.submit(
+            _submit(
                 _timed("bloom_fill", lambda: bloom_fill_ratio(f_fold.result(), cfg.bloom))
             )
             if f_fold is not None
@@ -534,8 +547,8 @@ def run_wave(
         )
         f_lin = (
             (
-                ex.submit(_timed("lineage_sched", _lineage), scheduled),
-                ex.submit(_timed("lineage_out", _lineage), out),
+                _submit(_timed("lineage_sched", _lineage), scheduled),
+                _submit(_timed("lineage_out", _lineage), out),
             )
             if collect_lineage
             else None
@@ -618,7 +631,10 @@ def run_wave(
         metrics = spark.createDataFrame(
             metric_rows, "wave_no int, counter string, partition_id int, value long"
         )
-        f_metrics = ex.submit(_timed("metrics", wh.write_table), metrics, "metrics", snap_id)
+        f_metrics = _submit(
+            _timed("metrics", wh.write_table), metrics, "metrics", snap_id,
+            _reads_cache=False,  # driver-built rows — never touches the cache
+        )
 
         # gather everything
         tables.setdefault("pairs_out", []).append(f_out.result())
@@ -638,6 +654,14 @@ def run_wave(
         # propagates. Then release everything the commit-path finally below
         # would have — the wave's persisted frames, the speculative compaction
         # persist, and a fold checkpoint if that job got far enough.
+        # Snapshot BEFORE cancelling: did a job that actually reads the cached
+        # bloom frame fail on its own? Only such a failure can mean lost or
+        # broken checkpoint blocks (executor death mid-gate). Futures the
+        # cancel below kills fail because of US, not because of block loss.
+        genuine_reader_failure = any(
+            f.done() and not f.cancelled() and f.exception() is not None
+            for f in cache_readers
+        )
         try:
             spark.sparkContext.cancelJobGroup(_job_group)
         except Exception:
@@ -659,11 +683,18 @@ def run_wave(
         # this same Warehouse object would hit the same snapshot key and reuse
         # the broken checkpoint on every retry until the process restarted.
         # Drop the cache so the retry rebuilds from the durable base+delta
-        # tables (ADVICE r3).
-        _stale = getattr(wh, "_bloom_session_cache", None)
-        if _stale is not None:
-            wh._bloom_session_cache = None
-            _release_checkpoint(_stale["df"])
+        # tables (ADVICE r3). SCOPED (ADVICE r4): only when a cache-READING
+        # job genuinely failed — a driver-side failure (metrics write error,
+        # Ctrl-C before a gate job died) cannot corrupt immutable cached
+        # blocks, and evicting there forces the retry to re-pay the full
+        # base+delta refold for nothing. A genuine reader failure racing the
+        # cancel above can be missed at most once, and self-heals: the
+        # retry's own gate job then fails and evicts on ITS failure path.
+        if genuine_reader_failure:
+            _stale = getattr(wh, "_bloom_session_cache", None)
+            if _stale is not None:
+                wh._bloom_session_cache = None
+                _release_checkpoint(_stale["df"])
         for _df in (cands, gated, classified):
             _df.unpersist()
         unpersist_sample_ids(scheduled)

@@ -98,17 +98,21 @@ def test_failed_wave_releases_all_state(spark, fx_dir, tmp_path_factory):
     cache_ids = after_a - before_a  # exactly wave a's session-cache checkpoint
     assert len(cache_ids) == 1
 
+    import pytest
+
     real_write = wh.write_table
 
-    def failing_write(df, name, snap_id):
+    # 1) DRIVER-SIDE failure: the metrics write is built from driver rows and
+    # never reads the cached bloom frame, so its failure cannot have broken
+    # the checkpoint blocks — the wave fails, strands nothing, and KEEPS the
+    # session cache so the retry skips the base+delta refold (ADVICE r4)
+    def failing_metrics_write(df, name, snap_id):
         if name == "metrics":
             raise RuntimeError("injected write failure")
         return real_write(df, name, snap_id)
 
-    wh.write_table = failing_write
+    wh.write_table = failing_metrics_write
     try:
-        import pytest
-
         with pytest.raises(RuntimeError, match="injected"):
             run_wave(
                 spark, wh, cfg, pairs, robots,
@@ -117,15 +121,36 @@ def test_failed_wave_releases_all_state(spark, fx_dir, tmp_path_factory):
     finally:
         wh.write_table = real_write
 
-    # the failed wave ALSO evicts the session bloom cache (ADVICE r3: after a
-    # failed gate job its non-replicated checkpoint blocks may be broken, and
-    # an in-process retry would otherwise reuse them forever): the cache's
-    # checkpoint blocks are actually unpersisted, and the failed wave strands
-    # nothing new of its own
-    assert getattr(wh, "_bloom_session_cache", None) is None
+    assert getattr(wh, "_bloom_session_cache", None) is not None
     now = _persistent_ids(spark)
-    assert now & cache_ids == frozenset(), "evicted cache blocks still persisted"
+    assert cache_ids <= now, "driver-side failure must keep the cache blocks"
     assert now - after_a == frozenset(), f"failed wave stranded {sorted(now - after_a)}"
+
+    # 2) CACHE-READER failure: a state write whose lineage runs through the
+    # seen gate (and so through the cached frame) fails AFTER materializing —
+    # the blocks may be broken (ADVICE r3), so the cache MUST be evicted and
+    # its checkpoint blocks actually unpersisted
+    def failing_reader_write(df, name, snap_id):
+        rel = real_write(df, name, snap_id)  # materialize first: a real read
+        if name == "bloom_parsed_delta":
+            raise RuntimeError("injected reader failure")
+        return rel
+
+    wh.write_table = failing_reader_write
+    try:
+        with pytest.raises(RuntimeError, match="injected reader"):
+            run_wave(
+                spark, wh, cfg, pairs, robots,
+                links.limit(0), collect_lineage=False, shard_key="b2",
+            )
+    finally:
+        wh.write_table = real_write
+
+    assert getattr(wh, "_bloom_session_cache", None) is None
+    now2 = _persistent_ids(spark)
+    assert now2 & cache_ids == frozenset(), "evicted cache blocks still persisted"
+    assert now2 - after_a == frozenset(), f"failed wave stranded {sorted(now2 - after_a)}"
+
     # and the warehouse still works: the next wave commits fine and
     # re-establishes the session cache from the durable tables
     m = run_wave(spark, wh, cfg, pairs, robots, links, collect_lineage=False, shard_key="c")
