@@ -628,6 +628,26 @@ def q44_streaming_hourly_finalized(spark, sf_dir):
     return spark.table(name)
 
 
+def q45_robots_rules(spark, sf_dir):
+    """Raw robots.txt bodies → gate-ready rules (RFC 9309 subset — completes
+    the J6 chain head; VERDICT r4 item 8). Arrow-batched parse of the
+    per-host dim table; arrays projected to a joined string + count so the
+    driver's column-sorted value hash sees scalars. Golden oracle: an
+    independently re-derived parser (tests/golden_queries.py g45) over the
+    same fixture bodies, which render robots.parquet's known rules wrapped
+    in formatting noise (comments, CRLF, decoy and stacked groups)."""
+    from crawlingathome_worker_spark.operators.politeness import parse_robots_txt
+
+    raw = spark.read.parquet(os.path.join(_fixtures(), "robots_txt.parquet"))
+    rules = parse_robots_txt(raw, agent="cah-worker")
+    return rules.select(
+        "host",
+        F.size("disallow_prefixes").alias("n_disallow"),
+        F.concat_ws("\x1f", "disallow_prefixes").alias("disallow_joined"),
+        "crawl_delay",
+    )
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -714,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_wat_scan": q42_wat_scan,
         "q43_dataset_finalize": q43_dataset_finalize,
         "q44_streaming_hourly_finalized": q44_streaming_hourly_finalized,
+        "q45_robots_rules": q45_robots_rules,
     }
 
 
@@ -947,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
                 "q35_ann_ivf",
                 "q42_wat_scan",
                 "q43_dataset_finalize",
+                "q45_robots_rules",
             )
         },
     }

@@ -24,6 +24,49 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig
 
 
+def parse_robots_txt(
+    bodies: DataFrame, agent: str = "cah-worker", body_col: str = "body"
+) -> DataFrame:
+    """Raw fetched robots.txt bodies → the gate-ready rules dim table.
+
+    bodies: (host, body string, …) — one row per host. Output replaces
+    `body_col` with (disallow_prefixes array<string>, crawl_delay double),
+    i.e. exactly the `robots` input of `robots_gate`, completing the chain
+    from bytes on the wire to the broadcast gate. Semantics are the pinned
+    RFC 9309 subset of functions/robots.py (see its docstring); a body with
+    no matching group yields ([], null) — identical gate behavior to the
+    host being absent (default-allow, default budget), pinned by test.
+
+    Scale shape: this is the DIM side — one row per host, parsed ONCE per
+    wave/ingest and then broadcast by robots_gate; the per-URL hot path
+    never runs Python. The parse itself is an Arrow-batched pandas UDF
+    (never per-row pickling), so even a 10M-host robots corpus is a single
+    narrow vectorized stage with no shuffle.
+    """
+    import pandas as pd
+
+    from ..functions.robots import parse_robots_body
+
+    def _parse_fn(b):
+        parsed = [parse_robots_body(x, agent) for x in b]
+        return pd.DataFrame(
+            {
+                "disallow_prefixes": [p for p, _ in parsed],
+                "crawl_delay": [d for _, d in parsed],
+            }
+        )
+
+    # real class objects, not strings: this module's `from __future__ import
+    # annotations` would otherwise hand pandas_udf unresolvable 'pd.*' hints
+    _parse_fn.__annotations__ = {"b": pd.Series, "return": pd.DataFrame}
+    _parse = F.pandas_udf("disallow_prefixes array<string>, crawl_delay double")(_parse_fn)
+
+    keep = [c for c in bodies.columns if c != body_col]
+    return bodies.withColumn("_rules", _parse(F.col(body_col))).select(
+        *keep, "_rules.disallow_prefixes", "_rules.crawl_delay"
+    )
+
+
 def robots_gate(candidates: DataFrame, robots: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Left-broadcast-join robots rules; drop disallowed URLs; attach budget.
 

@@ -29,7 +29,7 @@ from ..functions.langid import STOPWORDS
 from ..functions.textfix import normalize_caption
 from ..functions.urls import absolutize
 
-FIXTURE_VERSION = "v5"
+FIXTURE_VERSION = "v6"
 
 _EN_VOCAB = sorted(STOPWORDS["en"]) + [
     "sunset", "mountain", "river", "dog", "cat", "bicycle", "vintage", "portrait",
@@ -280,6 +280,73 @@ def gen_robots(out_dir: str, seed: int = 44) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "robots.parquet"))
 
 
+def gen_robots_txt(out_dir: str, seed: int = 47) -> None:
+    """FIXTURES.md §5b — RAW robots.txt bodies (host, body) whose cah-worker
+    parse under the pinned RFC 9309 subset (functions/robots.py) is EXACTLY
+    the rules in robots.parquet — so `parse_robots_txt ∘ render ≡ identity`
+    is a testable property and the q45 golden has a known ground truth.
+
+    The renderer wraps each host's rules in deterministic formatting noise
+    that must all be invisible to a correct parser: CRLF endings, comments
+    (full-line and inline), mixed-case keys and agent tokens, a preamble
+    rule before any group header (ignored), decoy groups for other agents,
+    a "*" decoy group that must LOSE to a specific cah-worker group,
+    stacked user-agent headers, unrecognized directives (Allow/Sitemap)
+    between header lines, empty Disallow lines, and unparseable
+    Crawl-delay values. Five extra hosts get bodies with NO matching group
+    (→ ([], null), gate-equivalent to a missing host).
+    """
+    rng = np.random.default_rng(seed)
+    rules = pq.read_table(os.path.join(out_dir, "robots.parquet")).to_pylist()
+    hosts, bodies = [], []
+    for r in rules:
+        nl = "\r\n" if rng.random() < 0.3 else "\n"
+        lines = []
+        if rng.random() < 0.25:
+            lines.append("Disallow: /preamble-ignored")  # before any header
+        if rng.random() < 0.5:
+            lines.append(f"# robots for {r['host']}")
+        if rng.random() < 0.6:  # decoy group for a different agent
+            lines += ["User-agent: otherbot", "Disallow: /decoy", "Crawl-delay: 9"]
+            if rng.random() < 0.5:
+                lines.append("")
+        specific = rng.random() < 0.5  # else the "*" group carries our rules
+        ua = "cah-worker" if specific else "*"
+        if specific and rng.random() < 0.3:
+            ua = "CAH-Worker"  # agent match is case-insensitive
+        key = "User-Agent" if rng.random() < 0.3 else "User-agent"
+        lines.append(f"{key}: {ua}")
+        if rng.random() < 0.3:
+            # unrecognized directive between header lines must not break
+            # stacking; the stacked extra agent must not change the match
+            if rng.random() < 0.5:
+                lines.append("Sitemap: https://example.com/sitemap.xml")
+            lines.append("User-agent: stacked-other-bot")
+        if rng.random() < 0.3:
+            lines.append("Allow: /public  # out of the pinned subset")
+        for p in r["disallow_prefixes"]:
+            inline = "   # inline comment" if rng.random() < 0.2 else ""
+            lines.append(f"Disallow: {p}{inline}")
+        if rng.random() < 0.2:
+            lines.append("Disallow:")  # empty = allow-all, contributes nothing
+        if rng.random() < 0.2:
+            lines.append("Crawl-delay: soon")  # unparseable, ignored
+        lines.append(f"Crawl-delay: {r['crawl_delay']}")
+        if specific and rng.random() < 0.4:
+            # a "*" group that must LOSE to the specific cah-worker group
+            lines += ["", "User-agent: *", "Disallow: /star-decoy", "Crawl-delay: 7"]
+        hosts.append(r["host"])
+        bodies.append(nl.join(lines) + nl)
+    covered = {r["host"] for r in rules}
+    for h in [h for h in _hosts(50) if h not in covered][:5]:
+        hosts.append(h)
+        bodies.append("User-agent: someoneelse\nDisallow: /x\nCrawl-delay: 3\n")
+    tbl = pa.table(
+        {"host": pa.array(hosts, pa.string()), "body": pa.array(bodies, pa.string())}
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "robots_txt.parquet"))
+
+
 def _candidate_md5s(out_dir: str) -> list[tuple[str, str]]:
     """(url, pair_md5) for fetchable wat_links candidates, post-normalization —
     used to seed the seen-set so anti-joins have real work."""
@@ -361,6 +428,7 @@ def ensure_fixtures(root: str, scale: float = 1.0, seed: int = 42) -> str:
     gen_pairs(out_dir, scale=scale, seed=seed)
     gen_wat(out_dir, scale=scale, seed=seed + 1)
     gen_robots(out_dir, seed=seed + 2)
+    gen_robots_txt(out_dir, seed=seed + 5)
     gen_seen_seed(out_dir, seed=seed + 3)
     gen_frontier_seed(out_dir, seed=seed + 4)
     with open(marker, "w") as f:

@@ -692,6 +692,65 @@ def g43_dataset_finalize(
     )
 
 
+def _g45_rules(body: str | None, agent: str) -> tuple[list[str], float | None]:
+    """Independent reimplementation of the pinned RFC 9309 subset
+    (functions/robots.py docstring IS the spec — the CODE is re-derived:
+    regex tokenization + zip-indexed group ids vs the engine's single-pass
+    state machine, so a parser bug in either shows up as a golden diff)."""
+    toks: list[tuple[str, str]] = []
+    for ln in (body or "").split("\n"):
+        ln = re.sub(r"#.*", "", ln).strip()
+        m = re.match(r"^([^:]*):(.*)$", ln)
+        if not m:
+            continue
+        k = m.group(1).strip().lower()
+        if k in ("user-agent", "disallow", "crawl-delay"):
+            toks.append((k, m.group(2).strip()))
+    gids, gid = [], -1
+    for j, (k, _) in enumerate(toks):
+        if k == "user-agent" and (j == 0 or toks[j - 1][0] != "user-agent"):
+            gid += 1
+        gids.append(gid)
+    agents: dict[int, set] = {}
+    for (k, v), g in zip(toks, gids):
+        if k == "user-agent":
+            agents.setdefault(g, set()).add(v.lower())
+
+    def spec(g: int) -> int:
+        a = agents.get(g, set())
+        return 2 if agent.lower() in a else (1 if "*" in a else 0)
+
+    best = max((spec(g) for g in agents), default=0)
+    prefixes: list[str] = []
+    delay: float | None = None
+    if best > 0:
+        for (k, v), g in zip(toks, gids):
+            if g < 0 or k == "user-agent" or spec(g) != best:
+                continue
+            if k == "disallow":
+                if v:
+                    prefixes.append(v)
+            elif re.fullmatch(r"\d+(\.\d+)?", v):
+                delay = float(v)
+    return prefixes, delay
+
+
+def g45_robots_rules(sf_dir: str, fx_dir: str) -> pa.Table:
+    rows = pq.read_table(os.path.join(fx_dir, "robots_txt.parquet")).to_pylist()
+    out = []
+    for r in sorted(rows, key=lambda x: x["host"]):
+        p, d = _g45_rules(r["body"], "cah-worker")
+        out.append((r["host"], len(p), "\x1f".join(p), d))
+    return pa.table(
+        {
+            "host": pa.array([o[0] for o in out], pa.string()),
+            "n_disallow": pa.array([o[1] for o in out], pa.int32()),
+            "disallow_joined": pa.array([o[2] for o in out], pa.string()),
+            "crawl_delay": pa.array([o[3] for o in out], pa.float64()),
+        }
+    )
+
+
 GOLDEN_QUERIES = {
     "q19_lang_pred": g19_lang_pred,
     "q20_minhash_lsh_pairs": g20_minhash_lsh_pairs,
@@ -710,4 +769,5 @@ GOLDEN_QUERIES = {
     "q35_ann_ivf": g35_ann_ivf,
     "q42_wat_scan": g42_wat_scan,
     "q43_dataset_finalize": g43_dataset_finalize,
+    "q45_robots_rules": g45_robots_rules,
 }

@@ -38,6 +38,7 @@ GOLDEN_QUERIES = [
     "q34_video_frames",
     "q35_ann_ivf",
     "q42_wat_scan",
+    "q45_robots_rules",
 ]
 
 pytestmark = pytest.mark.skipif(
