@@ -30,6 +30,16 @@ def main() -> None:
     ap.add_argument("--dedup-mode", choices=["exact", "bloom"], default="exact")
     ap.add_argument("--reference-strict", action="store_true")
     ap.add_argument(
+        "--robots-txt", default=None, metavar="PATH",
+        help="parquet of RAW robots.txt bodies (host, body) — parsed in-process "
+        "to gate rules (RFC 9309 subset) instead of reading the pre-parsed "
+        "fixture table",
+    )
+    ap.add_argument(
+        "--robots-agent", default="cah-worker",
+        help="product token for robots group matching (with --robots-txt)",
+    )
+    ap.add_argument(
         "--plain-pairs", action="store_true",
         help="fetch-join against the raw pairs parquet instead of the bucketed "
         "store (debug only: re-shuffles the bytes side every wave)",
@@ -103,7 +113,18 @@ def main() -> None:
         from crawlingathome_worker_spark.sources.bucketed import ensure_bucketed_pairs
 
         pairs = ensure_bucketed_pairs(spark, pairs_path, buckets=args.buckets)
-    robots = spark.read.parquet(os.path.join(fx, "robots.parquet"))
+    if args.robots_txt:
+        # real-world path: raw fetched robots.txt bodies (host, body) parsed
+        # to gate-ready rules in-process (pinned RFC 9309 subset —
+        # operators/politeness.py parse_robots_txt; ≡ the pre-parsed table,
+        # pinned by tests/test_robots_parse.py gate-chain equivalence)
+        from crawlingathome_worker_spark.operators.politeness import parse_robots_txt
+
+        robots = parse_robots_txt(
+            spark.read.parquet(args.robots_txt), agent=args.robots_agent
+        )
+    else:
+        robots = spark.read.parquet(os.path.join(fx, "robots.parquet"))
     max_page = links.agg(F.max("page_id")).collect()[0][0]
     step = (max_page + args.waves) // args.waves
     shards = [
