@@ -942,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
                   <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
             GROUP BY 1, 2
         """,
-        # q19-q22, q24, q26-q35: UDF/LSH/image ops have no direct SQL form; their
+        # q19-q22, q24, q26-q35, q42/q43/q45: UDF/LSH/image/parser ops have no direct SQL form; their
         # oracles are GOLDEN PARQUET files computed by an independent non-Spark
         # implementation (tests/golden_queries.py — brute-force pair finding,
         # plain-int hashing, shared pinned semantic modules). DuckDB value-checks
