@@ -220,9 +220,15 @@ def run_headline() -> dict:
 
     pairs = spark.read.parquet(os.path.join(fx_dir, "pairs.parquet")).repartition(int(cpus))
     n_imgs = pairs.count()
-    t0 = time.perf_counter()
-    with_decoded(pairs.select("image_id", "bytes")).filter("dec_ok").count()
-    dec_sec = time.perf_counter() - t0
+    # min-of-3 like every per-query timing above: a single run read as much
+    # as ±25% host noise across rounds (r4→r5 adjudication, min-of-9 ≡ r4)
+    dec_runs = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        with_decoded(pairs.select("image_id", "bytes")).filter("dec_ok").count()
+        dec_runs.append(time.perf_counter() - t0)
+    dec_sec = min(dec_runs)
     per_q["image_decode"] = round(dec_sec, 3)
 
     total = round(sum(per_q.values()), 3)
