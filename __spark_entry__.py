@@ -648,6 +648,66 @@ def q45_robots_rules(spark, sf_dir):
     )
 
 
+def q46_hashband_components(spark, sf_dir):
+    """Connected components (alternating large/small star —
+    operators/components.py) over an exactly-SQL-expressible two-band
+    hash-bucket graph: each document lands in one bucket per band
+    (band-tagged md5-prefix — the multi-band LSH candidate-generator shape),
+    buckets capped at 8 members, documents sharing a bucket are linked.
+    Components CHAIN across bands, so the iterative contraction does real
+    multi-round work (at sf0.01 the union percolates into one 473-doc giant
+    plus satellites). The oracle is a DuckDB RECURSIVE CTE computing the
+    same reachability closure — a full SQL value check of an iterative
+    graph algorithm, integer/hex-exact end to end (md5 on identical bytes,
+    no float boundary anywhere). The bucket-size cap bounds per-bucket
+    fan-out exactly like the banded LSH joins' density caps: no hot bucket
+    ever cartesians."""
+    from crawlingathome_worker_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id", F.concat(F.lit("1"), F.substring(F.md5("text"), 1, 2)).alias("k")
+    ).union(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("2"), F.substring(F.md5(F.concat(F.lit("x"), F.col("text"))), 1, 2)
+            ).alias("k"),
+        )
+    )
+    ok = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= 8))
+        .select("k")
+    )
+    t = keys.join(ok, "k")
+    edges = (
+        t.alias("x")
+        .join(t.alias("y"), "k")
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    # comp IS the (eagerly materialized) checkpoint — hand it to the driver
+    # as-is; releasing here would truncate the lineage under the pending
+    # compare. release_components(comp) is the receiving owner's cleanup call.
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def q47_neardup_components(spark, sf_dir):
+    """Components over the engine's OWN MinHash-LSH near-dup pair graph (the
+    q20 pairs) — the cluster step of transitive-safe corpus dedup. Golden
+    oracle: union-find over the independently recomputed g20 pair list."""
+    from crawlingathome_worker_spark.operators.components import connected_components
+
+    pairs = q20_minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    # see q46 — the result frame is the checkpoint; owner releases
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 def q30_wave_flagship(spark, sf_dir):
     """Full frontier wave on the fixture WAT (parse→dedup→politeness→ids)."""
     from crawlingathome_worker_spark.config import EngineConfig
@@ -735,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_dataset_finalize": q43_dataset_finalize,
         "q44_streaming_hourly_finalized": q44_streaming_hourly_finalized,
         "q45_robots_rules": q45_robots_rules,
+        "q46_hashband_components": q46_hashband_components,
+        "q47_neardup_components": q47_neardup_components,
     }
 
 
@@ -942,7 +1004,32 @@ def oracle_sql() -> dict[str, str]:
                   <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
             GROUP BY 1, 2
         """,
-        # q19-q22, q24, q26-q35, q42/q43/q45: UDF/LSH/image/parser ops have no direct SQL form; their
+        # q46: connected components of the two-band hash-bucket graph — an
+        # ITERATIVE graph algorithm with a full SQL oracle: DuckDB computes
+        # the same reachability closure with a recursive CTE (symmetric
+        # edges, min label over everything that reaches the node). md5 over
+        # identical bytes in both engines — no float boundary anywhere.
+        "q46_hashband_components": """
+            WITH RECURSIVE
+            keys AS (
+              SELECT doc_id, '1' || substr(md5(text), 1, 2) AS k FROM documents
+              UNION ALL
+              SELECT doc_id, '2' || substr(md5('x' || text), 1, 2) FROM documents
+            ),
+            ok AS (SELECT k FROM keys GROUP BY k HAVING count(*) BETWEEN 2 AND 8),
+            edges AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM keys a JOIN ok USING (k) JOIN keys b USING (k)
+              WHERE a.doc_id <> b.doc_id
+            ),
+            walk(node, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node
+            )
+            SELECT node AS doc_id, min(lab) AS component FROM walk GROUP BY node
+        """,
+        # q19-q22, q24, q26-q35, q42/q43/q45/q47: UDF/LSH/image/parser ops have no direct SQL form; their
         # oracles are GOLDEN PARQUET files computed by an independent non-Spark
         # implementation (tests/golden_queries.py — brute-force pair finding,
         # plain-int hashing, shared pinned semantic modules). DuckDB value-checks
@@ -969,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
                 "q42_wat_scan",
                 "q43_dataset_finalize",
                 "q45_robots_rules",
+                "q47_neardup_components",
             )
         },
     }

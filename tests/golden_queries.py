@@ -751,6 +751,34 @@ def g45_robots_rules(sf_dir: str, fx_dir: str) -> pa.Table:
     )
 
 
+def g47_neardup_components(sf_dir: str, fx_dir: str) -> pa.Table:
+    """Union-find (path-compressed, plain Python) over the independently
+    recomputed g20 near-dup pairs — the transitive-closure oracle for the
+    engine's iterative large/small-star contraction."""
+    t = g20_minhash_lsh_pairs(sf_dir, fx_dir)
+    edges = list(zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((n, find(n)) for n in parent)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "component": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 GOLDEN_QUERIES = {
     "q19_lang_pred": g19_lang_pred,
     "q20_minhash_lsh_pairs": g20_minhash_lsh_pairs,
@@ -770,4 +798,5 @@ GOLDEN_QUERIES = {
     "q42_wat_scan": g42_wat_scan,
     "q43_dataset_finalize": g43_dataset_finalize,
     "q45_robots_rules": g45_robots_rules,
+    "q47_neardup_components": g47_neardup_components,
 }

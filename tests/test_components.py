@@ -1,0 +1,107 @@
+"""connected_components (operators/components.py) — alternating large/small
+star vs an independent union-find oracle, plus shape/convergence pins and the
+component-based near-dup drop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawlingathome_worker_spark.operators.components import (
+    component_keep_filter,
+    component_representatives,
+    connected_components,
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent oracle: path-compressed union-find → node → min id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges: list[tuple[int, int]], **kw) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(df, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_matches_union_find_on_random_graphs(spark):
+    rng = np.random.default_rng(7)
+    for n, m in [(30, 15), (60, 60), (120, 200), (200, 80)]:
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _run(spark, edges) == _union_find(edges), (n, m)
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # a 256-link chain needs 256 rounds under naive min-propagation; the
+    # star-contraction pair must close it in ≤ 12 — this is the scale pin
+    chain = [(i, i + 1) for i in range(256)]
+    got = _run(spark, chain, max_iter=12)
+    assert got == {i: 0 for i in range(257)}
+
+
+def test_cliques_duplicates_reversed_and_selfloops(spark):
+    edges = (
+        [(a, b) for a in range(5) for b in range(5) if a != b]  # clique w/ both dirs
+        + [(10, 11), (11, 10), (11, 11), (10, 11)]  # dups, reversed, self-loop
+        + [(20, 21), (21, 22)]
+    )
+    got = _run(spark, edges)
+    assert got == {**{i: 0 for i in range(5)}, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df).count() == 0
+
+
+def test_representatives_and_keep_filter(spark, fx_dir):
+    edges = [(1, 2), (2, 3), (5, 6), (9, 9)]  # self-loop 9 drops out entirely
+    df = spark.createDataFrame(edges, "a long, b long")
+    comp = connected_components(df)
+    reps = {r["node"] for r in component_representatives(comp).collect()}
+    assert reps == {1, 5}
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    kept = component_keep_filter(docs, pairs, "doc_id")
+    # members 2,3,6 dropped; roots 1,5 kept; singletons 0,4,7 untouched
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 4, 5, 7}
+
+
+def test_non_star_guard_is_silent_on_real_runs(spark):
+    # 3 disjoint mid-size blobs — exercises the idempotency guard path
+    rng = np.random.default_rng(11)
+    edges = []
+    for base in (0, 1000, 2000):
+        nodes = rng.integers(base, base + 50, size=(60, 2))
+        edges += [(int(a), int(b)) for a, b in nodes if a != b]
+    got = _run(spark, edges)
+    oracle = _union_find(edges)
+    assert got == oracle
+    # components never bridge the blobs
+    for n, c in got.items():
+        assert abs(n - c) < 1000
+
+
+def test_max_iter_exhaustion_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], "a long, b long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)

@@ -39,6 +39,7 @@ GOLDEN_QUERIES = [
     "q35_ann_ivf",
     "q42_wat_scan",
     "q45_robots_rules",
+    "q47_neardup_components",
 ]
 
 pytestmark = pytest.mark.skipif(
