@@ -551,6 +551,47 @@ def q41_tpch_q4(spark, sf_dir):
     )
 
 
+def q48_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: 4-table star join (customer ⨝ orders ⨝ returned
+    lineitem ⨝ broadcast nation) → revenue agg → top-20. The dims broadcast;
+    the fact side shuffles once on its join key; top-k is
+    TakeOrderedAndProject, never a global sort. Deterministic tiebreak on
+    c_custkey so the LIMIT selection is well-defined in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.round(rev, 2) + F.lit(0.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q49_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: fact ⨝ broadcast part under an OR-of-ANDs predicate
+    (brand/size/quantity bands) → single agg. The disjunction stays inside
+    one codegen span post-join; each disjunct's part-side conjuncts prune the
+    broadcast build side."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    d1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 15)
+    d2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 25)
+    d3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 35)
+    return j.filter(d1 | d2 | d3).agg(
+        (F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2) + F.lit(0.0)).alias("revenue")
+    )
+
+
 def q42_wat_scan(spark, sf_dir):
     """S1/F1/F2/F3: RAW WAT text → link records through sources/wat.py
     (spark.read.text → contains("IMG@") prefilter → from_json explicit schema
@@ -797,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_robots_rules": q45_robots_rules,
         "q46_hashband_components": q46_hashband_components,
         "q47_neardup_components": q47_neardup_components,
+        "q48_tpch_q10": q48_tpch_q10,
+        "q49_tpch_q19": q49_tpch_q19,
     }
 
 
@@ -1003,6 +1046,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
                   <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
             GROUP BY 1, 2
+        """,
+        "q48_tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q49_tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 35)
         """,
         # q46: connected components of the two-band hash-bucket graph — an
         # ITERATIVE graph algorithm with a full SQL oracle: DuckDB computes
