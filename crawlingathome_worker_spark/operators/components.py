@@ -154,6 +154,42 @@ def component_representatives(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(F.min("node").alias("node")).select("node")
 
 
+def component_members(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Non-representative members of every component, for ARBITRARY node-id
+    types (string image keys, long doc ids, …) — the drop set of a
+    transitive-safe dedup. Returns one column named `src` with the original
+    type, eagerly materialized (callers anti-join it lazily).
+
+    Ordering parity with the greedy keep-lowest operators: nodes are mapped
+    to dense longs by their RANK in native sort order (the scale-safe
+    range+offset plan of operators/schedule.py — one range exchange, no
+    single-partition window), so min-dense-id ≡ min-original-id and the kept
+    representative is the same row greedy rules keep."""
+    from .schedule import assign_sample_ids, unpersist_sample_ids
+
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    mapped = assign_sample_ids(nodes, start_id=0, order_cols=("node",), id_col="_nid")
+    e = (
+        pairs.join(mapped.select(F.col("node").alias(src), F.col("_nid").alias("_a")), src)
+        .join(mapped.select(F.col("node").alias(dst), F.col("_nid").alias("_b")), dst)
+        .select("_a", "_b")
+    )
+    comp = connected_components(e, src="_a", dst="_b")
+    out = (
+        comp.where(F.col("node") != F.col("component"))
+        .join(mapped.select(F.col("node").alias("_orig"), F.col("_nid").alias("node")), "node")
+        .select(F.col("_orig").alias(src))
+        .localCheckpoint(eager=True)
+    )
+    release_components(comp)
+    unpersist_sample_ids(mapped)
+    return out
+
+
 def component_keep_filter(
     df: DataFrame, pairs: DataFrame, id_col: str, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:

@@ -32,36 +32,60 @@ def finalize_pairs(
     phash_max_hamming: int = 3,
     caption_jaccard: float = 0.8,
     num_perm: int = 64,
+    dedup_strategy: str = "greedy",
 ) -> dict[str, DataFrame]:
     """The LAZY finalization composition over any pairs_out-shaped frame
     (columns: id_col, phash, caption, score, …passthrough). Returns the
     per-stage frames {raw, exact, img_clean, deduped, final} so callers can
     persist/count whichever stages they report on. `id_col` may be any
-    orderable type — greedy keep-lowest rules compare in its native order."""
+    orderable type — keep-lowest rules compare in its native order.
+
+    dedup_strategy governs BOTH near-dup stages:
+      "greedy"    — drop the higher id of each pair (the historical rule;
+                    order-dependent along chains A~B~C: may keep several
+                    members of one transitive cluster);
+      "component" — connected components of the pair graph, keep exactly the
+                    min-id member per cluster (transitive-safe —
+                    operators/components.py; the two stages agree on every
+                    graph where each pair's higher id appears in exactly one
+                    pair). Either way only banded candidate PAIRS are ever
+                    materialized — no all-pairs stage."""
+    if dedup_strategy not in ("greedy", "component"):
+        raise ValueError(f"unknown dedup_strategy: {dedup_strategy!r}")
     id_type = dict(raw.dtypes)[id_col]
+
+    def _drop_set(pairs: DataFrame, a: str, b: str, out_type: str) -> DataFrame:
+        """Pair graph → the ids to drop, one column named id_col."""
+        if dedup_strategy == "component":
+            from ..operators.components import component_members
+
+            return component_members(pairs, src=a, dst=b).select(
+                F.col(a).cast(out_type).alias(id_col)
+            )
+        return pairs.select(
+            F.greatest(F.col(a).cast(out_type), F.col(b).cast(out_type)).alias(id_col)
+        ).distinct()
 
     # 1. exact pHash dedup — identical/re-encoded images collapse (first-wins)
     exact = phash_dedup(raw, order_col=id_col)
 
-    # 2. near-dup images: banded hamming pairs → greedy drop the higher id
+    # 2. near-dup images: banded hamming pairs → drop per strategy
     near = phash_near_pairs(
         exact.select(F.col(id_col).cast("string").alias("image_key"), "phash"),
         id_col="image_key",
         max_hamming=phash_max_hamming,
     )
-    drop_img = near.select(
-        F.greatest(F.col("id_a").cast(id_type), F.col("id_b").cast(id_type)).alias(id_col)
-    ).distinct()
-    img_clean = exact.join(drop_img, id_col, "left_anti")
+    img_clean = exact.join(_drop_set(near, "id_a", "id_b", id_type), id_col, "left_anti")
 
-    # 3. caption near-dups: MinHash-LSH over captions, greedy keep-lowest id
+    # 3. caption near-dups: MinHash-LSH over captions, drop per strategy
     sigs = minhash_signatures(
         img_clean.select(F.col(id_col).alias("doc_id"), F.col("caption").alias("text")),
         num_perm=num_perm,
     )
     cap_pairs = minhash_lsh_pairs(sigs, threshold=caption_jaccard, num_perm=num_perm)
-    drop_cap = cap_pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    deduped = img_clean.join(drop_cap, id_col, "left_anti")
+    deduped = img_clean.join(
+        _drop_set(cap_pairs, "doc_a", "doc_b", id_type), id_col, "left_anti"
+    )
 
     # 4. CLIP-proxy gate (the reference project's whole purpose, README.md:8)
     final = deduped.filter(F.col("score") >= score_threshold)
@@ -81,6 +105,7 @@ def build_training_set(
     phash_max_hamming: int = 3,
     caption_jaccard: float = 0.8,
     num_perm: int = 64,
+    dedup_strategy: str = "greedy",
 ) -> tuple[DataFrame, dict]:
     """→ (final DataFrame, stats). Reads pairs_out AS OF the latest snapshot.
 
@@ -101,6 +126,7 @@ def build_training_set(
         phash_max_hamming=phash_max_hamming,
         caption_jaccard=caption_jaccard,
         num_perm=num_perm,
+        dedup_strategy=dedup_strategy,
     )
     exact = stages["exact"].persist()
     img_clean = stages["img_clean"].persist()

@@ -72,6 +72,12 @@ def main() -> None:
         "--score-threshold", type=float, default=0.0,
         help="CLIP-proxy score gate for --finalize",
     )
+    ap.add_argument(
+        "--dedup-strategy", choices=["greedy", "component"], default="greedy",
+        help="near-dup drop rule for --finalize: greedy pairwise (drop the "
+        "higher id of each pair) or transitive-safe connected components "
+        "(keep exactly the min-id member of each cluster)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -154,7 +160,8 @@ def main() -> None:
         from crawlingathome_worker_spark.plans.dataset import write_training_set
 
         stats = write_training_set(
-            spark, wh, args.finalize, score_threshold=args.score_threshold
+            spark, wh, args.finalize, score_threshold=args.score_threshold,
+            dedup_strategy=args.dedup_strategy,
         )
         print(json.dumps({"finalized": args.finalize, **stats}))
     spark.stop()

@@ -101,6 +101,39 @@ def test_non_star_guard_is_silent_on_real_runs(spark):
         assert abs(n - c) < 1000
 
 
+def test_component_members_string_ids(spark):
+    from crawlingathome_worker_spark.operators.components import component_members
+
+    pairs = spark.createDataFrame(
+        [("img_b", "img_c"), ("img_a", "img_c"), ("img_x", "img_y")],
+        "id_a string, id_b string",
+    )
+    drop = {r["id_a"] for r in component_members(pairs, "id_a", "id_b").collect()}
+    # components {a,b,c} and {x,y}; min-id reps a and x are kept
+    assert drop == {"img_b", "img_c", "img_y"}
+
+
+def test_finalize_component_strategy_is_transitive_safe(spark):
+    """Chain via a hub: phash(1)~phash(3), phash(2)~phash(3), 1≁2. Greedy
+    drops only the per-pair max (3) and keeps BOTH 1 and 2 — two members of
+    one transitive cluster. The component strategy keeps exactly min(cluster)."""
+    from crawlingathome_worker_spark.plans.dataset import finalize_pairs
+
+    rows = [
+        (1, 0b0000, "caption one", 1.0),
+        (2, 0b1111, "caption two", 1.0),
+        (3, 0b0011, "caption three", 1.0),
+        (9, 0x5555_5555_0000, "caption nine", 1.0),  # hamming ≥ 14 from all
+    ]
+    raw = spark.createDataFrame(
+        rows, "sample_id long, phash long, caption string, score double"
+    )
+    greedy = finalize_pairs(raw, dedup_strategy="greedy")["final"]
+    comp = finalize_pairs(raw, dedup_strategy="component")["final"]
+    assert {r["sample_id"] for r in greedy.collect()} == {1, 2, 9}
+    assert {r["sample_id"] for r in comp.collect()} == {1, 9}
+
+
 def test_max_iter_exhaustion_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(64)], "a long, b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):

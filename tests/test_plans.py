@@ -269,6 +269,18 @@ def test_dataset_build_end_to_end(spark, fx_dir, tmp_path):
     for a, b in itertools.combinations(sorted(set(phashes))[:300], 2):
         assert hamming64(a, b) > 3
 
+    # component strategy over the SAME warehouse: transitive-safe drop keeps
+    # exactly one member per near-dup cluster — always a subset of greedy's
+    # keeps (greedy can keep several members of one chain, never fewer)
+    final_c, stats_c = build_training_set(
+        spark, wh, score_threshold=0.0, dedup_strategy="component"
+    )
+    kept_g = {r["sample_id"] for r in rows}
+    kept_c = {r["sample_id"] for r in final_c.collect()}
+    final_c.unpersist()
+    assert kept_c <= kept_g
+    assert 50 < stats_c["final_rows"] <= stats["final_rows"]
+
 
 def test_aqe_splits_skewed_fetch_join(spark):
     """The docs claim AQE absorbs residual hot-KEY skew in the fetch join
