@@ -54,6 +54,17 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
 
 
+def test_tpch_q10_star_join_plan(spark):
+    """q48: dims broadcast (no SortMergeJoin at this SF), top-20 is
+    TakeOrderedAndProject — the LIMIT never becomes a global sort."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q48_tpch_q10"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_anti_join_shape(spark):
     from crawlingathome_worker_spark.operators.dedup import seen_filter_exact
 
