@@ -592,6 +592,22 @@ def q49_tpch_q19(spark, sf_dir):
     )
 
 
+def q50_stratified_sample(spark, sf_dir):
+    """Exact stratified sampling (operators/sampling.py): per-language quotas
+    (en 100, others 30) by seeded-md5 rank — the data-mixing step of a
+    training-data build, deterministic across partitionings (pinned by
+    tests/test_sampling.py). Oracle: the same rank in one SQL window."""
+    from crawlingathome_worker_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    quotas = spark.createDataFrame(
+        [(lang, 100 if lang == "en" else 30) for lang in sorted(langs)],
+        "lang string, quota long",
+    )
+    return stratified_sample(docs, "lang", quotas, "doc_id").select("doc_id", "lang")
+
+
 def q42_wat_scan(spark, sf_dir):
     """S1/F1/F2/F3: RAW WAT text → link records through sources/wat.py
     (spark.read.text → contains("IMG@") prefilter → from_json explicit schema
@@ -840,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_neardup_components": q47_neardup_components,
         "q48_tpch_q10": q48_tpch_q10,
         "q49_tpch_q19": q49_tpch_q19,
+        "q50_stratified_sample": q50_stratified_sample,
     }
 
 
@@ -1066,6 +1083,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15)
                OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 25)
                OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 35)
+        """,
+        "q50_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|s42'), doc_id
+                     ) AS r
+              FROM documents
+            ) WHERE r <= CASE WHEN lang = 'en' THEN 100 ELSE 30 END
         """,
         # q46: connected components of the two-band hash-bucket graph — an
         # ITERATIVE graph algorithm with a full SQL oracle: DuckDB computes
