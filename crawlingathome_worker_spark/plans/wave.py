@@ -532,17 +532,23 @@ def run_wave(
         # submitted fold is always needed; a future re-keying path that breaks
         # this invariant must also release the checkpoint it no longer wants
         assert f_fold is None or fold_needed
-        # bloom saturation health (VERDICT r4 item 3): popcount the freshly
-        # folded bits as a pool job chained on the fold — it overlaps the
-        # lineage/counters/metrics tail, so the per-wave cost is one scan of
-        # already-cached checkpoint blocks, off the critical path. An
-        # over-filled bloom silently raises FPR and a false "seen" silently
-        # drops candidates forever, so saturation must surface in metrics.
+        # bloom saturation health (VERDICT r4 item 3): an over-filled bloom
+        # silently raises FPR and a false "seen" silently drops candidates
+        # forever, so saturation must surface in metrics. The popcount is a
+        # full scan of the bloom bits, and per-wave it sits on the serialized
+        # fold→fill→metrics tail (profiled: ~0.4 s at bench scale, a full
+        # multi-GB state scan at design point) — so recompute EXACTLY only at
+        # compaction boundaries (and on the first state-writing wave, when no
+        # parent value exists); every other wave carries the parent's value
+        # forward. Staleness is bounded by bloom_compact_every waves, and the
+        # ratio moves monotonically and slowly between compactions — the 0.5
+        # warn threshold is capacity planning, not a per-wave alarm.
+        fill_known = bool(parent and parent.get("bloom_fill_ratio") is not None)
         f_fill = (
             _submit(
                 _timed("bloom_fill", lambda: bloom_fill_ratio(f_fold.result(), cfg.bloom))
             )
-            if f_fold is not None
+            if f_fold is not None and (will_compact or not fill_known)
             else None
         )
         f_lin = (

@@ -254,3 +254,44 @@ def test_bloom_fill_ratio_emitted_and_warns_when_saturated(
         m3 = run_wave(spark, wh2, cfg2, pairs, robots, links, collect_lineage=False)
     assert m3["bloom_fill_ratio"] > cfg2.bloom_warn_fill
     assert any("fill ratio" in r.getMessage() for r in caplog.records)
+
+
+def test_bloom_fill_recompute_only_at_compaction(spark, fx_dir, tmp_path_factory):
+    """The fill popcount is a full bloom-state scan, so state-writing waves
+    BETWEEN compactions carry the parent's ratio forward (staleness bounded
+    by bloom_compact_every); the compaction wave recomputes exactly."""
+    from crawlingathome_worker_spark.state.bloom import bloom_fill_ratio
+
+    links = spark.read.parquet(f"{fx_dir}/wat_links.parquet")
+    pairs = spark.read.parquet(f"{fx_dir}/pairs.parquet")
+    robots = spark.read.parquet(f"{fx_dir}/robots.parquet")
+    wh = Warehouse(str(tmp_path_factory.mktemp("fillc_wh")))
+    cfg = EngineConfig(
+        default_host_budget=500, wave_seconds=600.0, dedup_mode="bloom",
+        reference_strict=True, bloom_compact_every=3,
+    )
+    mid = links.agg(F.max("page_id")).collect()[0][0] // 3
+    sh = [
+        links.filter(F.col("page_id") <= mid),
+        links.filter((F.col("page_id") > mid) & (F.col("page_id") <= 2 * mid)),
+        links.filter(F.col("page_id") > 2 * mid),
+    ]
+    m1 = run_wave(spark, wh, cfg, pairs, robots, sh[0], collect_lineage=False, shard_key="s1")
+    f1 = m1["bloom_fill_ratio"]
+    assert f1 > 0.0
+
+    # wave 2 writes state (new delta) but is not a compaction boundary:
+    # the manifest carries wave 1's value even though the true fill grew
+    m2 = run_wave(spark, wh, cfg, pairs, robots, sh[1], collect_lineage=False, shard_key="s2")
+    assert m2["tables"]["bloom_parsed_delta"] != m1["tables"]["bloom_parsed_delta"]
+    assert m2["bloom_fill_ratio"] == f1
+
+    # wave 3 hits the compaction boundary (2 deltas + 1 >= 3): exact recompute
+    # — strictly above the carried value, equal to an independent recount of
+    # the compacted state
+    m3 = run_wave(spark, wh, cfg, pairs, robots, sh[2], collect_lineage=False, shard_key="s3")
+    f3 = m3["bloom_fill_ratio"]
+    assert f3 > f1
+    assert m3["tables"].get("bloom_parsed") != m1["tables"].get("bloom_parsed")
+    state = wh.read_table(spark, m3, "bloom_parsed", "part int, bits binary")
+    assert abs(bloom_fill_ratio(state, cfg.bloom) - f3) < 1e-6
