@@ -608,6 +608,20 @@ def q50_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, "lang", quotas, "doc_id").select("doc_id", "lang")
 
 
+def q51_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile (operators/textstats.py corpus_profile,
+    exact mode): count, mean, interpolated p50/p90 of document length —
+    Spark's exact `percentile` bit-matches DuckDB's quantile_cont. The
+    approx scale path (bounded-memory sketch) is pinned against this exact
+    mode by tests/test_textops.py."""
+    from crawlingathome_worker_spark.operators.textstats import corpus_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_profile(docs, "lang", "n_chars", percentiles=(0.5, 0.9)).select(
+        "lang", "n", F.col("mean").alias("mean_chars"), "p50", "p90"
+    )
+
+
 def q42_wat_scan(spark, sf_dir):
     """S1/F1/F2/F3: RAW WAT text → link records through sources/wat.py
     (spark.read.text → contains("IMG@") prefilter → from_json explicit schema
@@ -857,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_tpch_q10": q48_tpch_q10,
         "q49_tpch_q19": q49_tpch_q19,
         "q50_stratified_sample": q50_stratified_sample,
+        "q51_corpus_profile": q51_corpus_profile,
     }
 
 
@@ -1093,6 +1108,13 @@ def oracle_sql() -> dict[str, str]:
                      ) AS r
               FROM documents
             ) WHERE r <= CASE WHEN lang = 'en' THEN 100 ELSE 30 END
+        """,
+        "q51_corpus_profile": """
+            SELECT lang, count(*) AS n,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents GROUP BY lang
         """,
         # q46: connected components of the two-band hash-bucket graph — an
         # ITERATIVE graph algorithm with a full SQL oracle: DuckDB computes

@@ -81,3 +81,39 @@ def with_bpe_estimate(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: acc + F.ceil(F.length(x) / F.lit(6.0)).cast("long"),
     )
     return docs.withColumn("bpe_tokens", cost)
+
+
+def corpus_profile(
+    docs: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-stratum distribution profile: (stratum, n, mean, p<NN>…) — the
+    corpus-health report a mixing/filtering pass reads before choosing
+    thresholds.
+
+    exact=True uses Spark's exact `percentile` — interpolated, bit-matching
+    DuckDB's quantile_cont, but the aggregation buffers every group value, so
+    it is for BOUNDED inputs (samples, small strata, CI oracles). The scale
+    path is exact=False: `approx_percentile` (t-digest-style sketch, bounded
+    memory, rank error ≤ 1/accuracy) — same map-side-combinable one-shuffle
+    plan shape at any stratum size. Both modes in one operator mirrors the
+    engine's bloom-vs-exact dedup pattern: the exact mode IS the oracle the
+    approx mode is pinned against at fixture scale (tests/test_textops.py).
+    """
+    v = F.col(value_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg(v), 4) + F.lit(0.0)).alias("mean"),
+    ]
+    for p in percentiles:
+        name = f"p{int(round(p * 100)):02d}"
+        if exact:
+            expr = F.percentile(v, F.lit(p))
+        else:
+            expr = F.percentile_approx(v, F.lit(p), F.lit(accuracy)).cast("double")
+        aggs.append((F.round(expr, 4) + F.lit(0.0)).alias(name))
+    return docs.groupBy(stratum_col).agg(*aggs)

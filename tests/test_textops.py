@@ -127,3 +127,36 @@ def test_simhash_banding_complete_at_any_radius(spark):
     }
     assert len(brute) > 100
     assert got == brute
+
+
+def test_corpus_profile_approx_within_rank_error(spark):
+    """corpus_profile approx mode (the unbounded-stratum scale path) must
+    land within the sketch's rank-error bound of the exact mode it mirrors;
+    n and mean are sketch-free and must match exactly."""
+    import os
+
+    from crawlingathome_worker_spark.operators.textstats import corpus_profile
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    exact = {r["lang"]: r for r in corpus_profile(docs, "lang", "n_chars").collect()}
+    approx = {
+        r["lang"]: r
+        for r in corpus_profile(docs, "lang", "n_chars", exact=False).collect()
+    }
+    assert exact.keys() == approx.keys()
+    vals = {}
+    for row in docs.select("lang", "n_chars").collect():
+        vals.setdefault(row["lang"], []).append(row["n_chars"])
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a["n"] == e["n"] and a["mean"] == e["mean"]
+        xs = sorted(vals[lang])
+        for p, col in ((0.5, "p50"), (0.9, "p90")):
+            # approx returns an actual element whose rank is within
+            # n * (1/accuracy) of the target rank — with accuracy 10k and
+            # n ≤ a few hundred this means an element adjacent to the
+            # exact interpolated value
+            lo = xs[max(0, int((len(xs) - 1) * p) - 1)]
+            hi = xs[min(len(xs) - 1, int((len(xs) - 1) * p) + 2)]
+            assert lo <= a[col] <= hi, (lang, col, a[col], lo, hi)
