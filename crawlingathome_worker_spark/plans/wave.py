@@ -54,6 +54,25 @@ def _obs_count(obs: Observation, df: DataFrame) -> int:
 _release_warned = False
 
 
+def _fold_ckpt(df: DataFrame) -> DataFrame:
+    """localCheckpoint that cannot strand blocks. eager=True registers the
+    persist and materializes in one opaque call — if the failure path's
+    cancelJobGroup kills that job mid-flight, the half-built checkpoint RDD
+    stays registered with NO DataFrame handle left to release it through
+    (before round 5 the fill-ratio gather serialized after the fold and hid
+    this window; test_failed_wave_releases_all_state caught the strand the
+    moment the barrier moved). Split the steps: take the handle first
+    (eager=False), materialize under try, release the registration before
+    re-raising on any failure — cancellation included."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        ck.count()
+        return ck
+    except BaseException:
+        _release_checkpoint(ck)
+        raise
+
+
 def _release_checkpoint(df: DataFrame) -> None:
     """Free a localCheckpoint'ed frame's blocks. DataFrame.unpersist() only
     clears the CacheManager entry; the checkpoint RDD is persisted at the RDD
@@ -412,7 +431,7 @@ def run_wave(
                 # input waves always fold: plan_added is a fresh merge, never
                 # the cached frame (see the fold comment below for semantics)
                 f_fold = _submit(
-                    _timed("bloom_fold", lambda: plan_added.localCheckpoint(eager=True))
+                    _timed("bloom_fold", lambda: _fold_ckpt(plan_added))
                 )
             else:
                 opt["seen_keys"] = _submit(
@@ -526,7 +545,7 @@ def run_wave(
         )
         if fold_needed and f_fold is None:  # drain wave that changed state
             f_fold = _submit(
-                _timed("bloom_fold", lambda: next_merged.localCheckpoint(eager=True))
+                _timed("bloom_fold", lambda: _fold_ckpt(next_merged))
             )
         # optimistic ⇒ input wave ⇒ next_merged is a fresh merge, so a
         # submitted fold is always needed; a future re-keying path that breaks
