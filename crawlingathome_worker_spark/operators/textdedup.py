@@ -73,18 +73,11 @@ def minhash_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        # Shingles repeat heavily across documents (natural-language n-grams
-        # are Zipfian): index each DISTINCT shingle once per batch, hash them
-        # all in one vectorized FNV pass, compute the (num_perm × K)
-        # permutation matrix in one op, then take per-document minima with a
-        # single np.minimum.reduceat over the gathered columns. Same values as
-        # the per-document loop (min is order-independent; the permutation
-        # arithmetic is the identical uint64 expression), ~6× faster — the
-        # Python-side work per row drops to tokenize + set-build.
-        if len(texts) == 0:
-            return pd.Series([], dtype="object")
-        index: dict[str, int] = {}
-        doc_idx: list[np.ndarray] = []
+        out = []
+        # Shingles repeat heavily across documents (natural-language n-grams are
+        # Zipfian): memoize the FNV base hash per batch so the Python byte loop
+        # runs once per DISTINCT shingle, not once per occurrence.
+        hcache: dict[str, int] = {}
         for t in texts:
             toks = t.split() if isinstance(t, str) else []
             if len(toks) < shingle_len:
@@ -94,23 +87,15 @@ def minhash_signatures(
                     " ".join(toks[i : i + shingle_len])
                     for i in range(len(toks) - shingle_len + 1)
                 }
-            doc_idx.append(
-                np.fromiter(
-                    (index.setdefault(s, len(index)) for s in shingles),
-                    dtype=np.int64,
-                    count=len(shingles),
-                )
+            # base hashes: FNV-1a over utf-8, vectorized finish with (a*h+b) mod p
+            hs = np.fromiter(
+                (hcache.get(s) or hcache.setdefault(s, _fnv1a(s)) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
             )
-        hs = _fnv1a_batch(list(index))  # uint64, ordered by first-seen index
-        # (num_perm, K): same (a*h+b) mod p in uint64 as the scalar path
-        perms = (a_params[:, None] * hs[None, :] + b_params[:, None]) % _MERSENNE
-        flat = np.concatenate(doc_idx)
-        bounds = np.zeros(len(doc_idx), dtype=np.int64)
-        np.cumsum([len(x) for x in doc_idx[:-1]], out=bounds[1:])
-        # every doc contributes ≥1 shingle (empty text → the "" shingle), so
-        # reduceat segments are never empty
-        sigs = np.minimum.reduceat(perms[:, flat], bounds, axis=1).astype(np.int64)
-        return pd.Series(list(sigs.T))
+            sig = ((a_params[:, None] * hs[None, :] + b_params[:, None]) % _MERSENNE).min(axis=1)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
 
     return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
@@ -120,32 +105,6 @@ def _fnv1a(s: str) -> int:
     for byte in s.encode("utf-8"):
         h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
-
-
-def _fnv1a_batch(strings: list[str]) -> np.ndarray:
-    """Vectorized FNV-1a (64-bit) over a list of strings → uint64 array.
-
-    Bit-identical to `_fnv1a` per string: the byte recursion is sequential, so
-    the vectorization runs position-by-position ACROSS strings (max_len small
-    vector ops over K strings instead of sum-of-lengths Python ops); uint64
-    multiplication wraps mod 2^64 exactly like the scalar `& 0xFFFF...` mask."""
-    n = len(strings)
-    out = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
-    if n == 0:
-        return out
-    bs = [s.encode("utf-8") for s in strings]
-    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
-    max_len = int(lens.max())
-    if max_len == 0:
-        return out
-    buf = np.zeros((n, max_len), dtype=np.uint8)
-    for i, b in enumerate(bs):
-        buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    prime = np.uint64(0x100000001B3)
-    for j in range(max_len):
-        active = lens > j
-        out[active] = (out[active] ^ buf[active, j].astype(np.uint64)) * prime
-    return out
 
 
 def minhash_lsh_pairs(
@@ -224,44 +183,24 @@ def simhash_fingerprints(
 
     @F.pandas_udf(LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
-        # Tokens are Zipfian: index each DISTINCT token once per batch, hash
-        # them all in one vectorized FNV pass, expand to a (K, 64) bit table
-        # once, then per-document bit-votes via a single np.add.reduceat over
-        # the concatenated occurrence indices (repetitions counted, exactly
-        # like the per-document sum). Integer arithmetic throughout — values
-        # identical to the per-document loop, Python work per row drops to
-        # tokenize + index lookup.
         out = np.zeros(len(texts), dtype=np.int64)
-        if len(texts) == 0:
-            return pd.Series(out)
         weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        index: dict[str, int] = {}
-        doc_idx: list[np.ndarray] = []
-        doc_pos: list[int] = []  # positions of non-empty docs in `texts`
+        hcache: dict[str, int] = {}  # tokens are Zipfian — hash each once per batch
         for i, t in enumerate(texts):
             toks = t.split() if isinstance(t, str) else []
             if not toks:
                 continue
-            doc_pos.append(i)
-            doc_idx.append(
-                np.fromiter(
-                    (index.setdefault(tok, len(index)) for tok in toks),
-                    dtype=np.int64,
-                    count=len(toks),
-                )
+            hs = np.fromiter(
+                (hcache.get(tok) or hcache.setdefault(tok, _fnv1a(tok)) for tok in toks),
+                dtype=np.uint64,
+                count=len(toks),
             )
-        if not doc_idx:
-            return pd.Series(out)
-        hs = _fnv1a_batch(list(index))
-        bits = ((hs[:, None] & weights[None, :]) != 0).astype(np.int32)  # (K, 64)
-        counts = np.fromiter((len(x) for x in doc_idx), dtype=np.int64, count=len(doc_idx))
-        flat = np.concatenate(doc_idx)
-        bounds = np.zeros(len(doc_idx), dtype=np.int64)
-        np.cumsum(counts[:-1], out=bounds[1:])
-        sums = np.add.reduceat(bits[flat], bounds, axis=0)  # (ndocs, 64)
-        votes = sums * 2 - counts[:, None]  # +1 / -1 votes
-        fps = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
-        out[doc_pos] = fps.astype(np.int64)
+            bits = ((hs[:, None] & weights[None, :]) != 0).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 votes
+            fp = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                fp |= weights[j]
+            out[i] = fp.astype(np.int64)
         return pd.Series(out)
 
     return docs.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
