@@ -44,6 +44,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _par(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a single-file scan to the session's parallelism.
+
+    The driver tables are single-row-group parquet files: the scan yields 1-2
+    tasks regardless of core count (row groups are the split atom), so any
+    per-row stage Catalyst pipelines into the scan — signature/score UDFs,
+    string building — runs on a sliver of the machine. Repartitioning on a
+    key column right after the read restores parallelism (guide §2.5: "input
+    skew — one huge unsplittable file: repartition immediately after the
+    read"); hash (not round-robin) partitioning skips the
+    sort-before-repartition pass and is deterministic under task retry.
+    Scale-adaptive: the target is defaultParallelism, not a constant — on a
+    many-split production scan this helper is simply not applied."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(key)
+    )
+
+
 def _fixtures() -> str:
     from crawlingathome_worker_spark.sources.fixtures import ensure_fixtures
 
@@ -157,7 +175,16 @@ def q07_sample_ids(spark, sf_dir):
     """W1 contiguous sample-id assignment via the scale-safe range+offset plan."""
     from crawlingathome_worker_spark.operators.schedule import assign_sample_ids
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100.0)
+    # project to the one needed column BEFORE the operator: assign_sample_ids
+    # range-shuffles and persists its input as-is (column pruning cannot reach
+    # through the persist), so without this the full 9-column orders row rides
+    # the range exchange and the cache (guide §2.3 "project before the
+    # exchange"); sample_id depends only on o_orderkey order — result identical
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100.0)
+        .select("o_orderkey")
+    )
     out = assign_sample_ids(o, start_id=0, order_cols=("o_orderkey",))
     return out.select("o_orderkey", "sample_id")
 
@@ -286,7 +313,7 @@ def q20_minhash_lsh_pairs(spark, sf_dir):
         minhash_signatures,
     )
 
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), num_perm=64)
+    sigs = minhash_signatures(_par(_t(spark, sf_dir, "documents"), "doc_id"), num_perm=64)
     return minhash_lsh_pairs(sigs, bands=16, threshold=0.5, num_perm=64).select(
         "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
@@ -302,7 +329,7 @@ def q21_simhash_pairs(spark, sf_dir):
     # 16-bit bands give complete recall AND selective buckets. Larger radii are
     # supported (bands = r+1) but each band narrows to 64/(r+1) bits, so bucket
     # selectivity decays exponentially — at r=8 the candidate volume is ~50×.
-    fps = simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    fps = simhash_fingerprints(_par(_t(spark, sf_dir, "documents"), "doc_id"))
     return simhash_near_pairs(fps, max_hamming=3)
 
 
@@ -326,7 +353,7 @@ def q23_ann_topk(spark, sf_dir):
     from crawlingathome_worker_spark.operators.similarity import brute_force_topk
 
     q = _query_vec(spark, sf_dir)
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    e = _par(_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0), "vec_id")
     out = brute_force_topk(e, q, k=10)
     return out.select("vec_id", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))
 
@@ -363,7 +390,7 @@ def q26_embedding_neardup(spark, sf_dir):
     # were collected before this call) — without this, a long-running driver
     # session accumulates one persisted banded frame per knn_self_join call
     release_knn_caches()
-    e = _t(spark, sf_dir, "embeddings")
+    e = _par(_t(spark, sf_dir, "embeddings"), "vec_id")
     out = knn_self_join(e, threshold=0.4, n_tables=4, bits_per_table=6, dim=64)
     return out.select("id_a", "id_b", (F.round("cosine", 3) + F.lit(0.0)).alias("cosine"))
 

@@ -243,7 +243,17 @@ def simhash_near_pairs(
         ),
     )
     l, r = bands.alias("l"), bands.alias("r")
-    cand = (
+    # hamming is computed IN the join projection and filtered BEFORE the
+    # duplicate-pair collapse: it is a pure function of the pair, so filter and
+    # dropDuplicates commute — identical result set — but the dedup exchange
+    # then carries only radius-surviving pairs instead of every banded
+    # candidate (24.6M candidate rows vs a few thousand survivors on the 50k-doc
+    # sf1.0 table; skewed 16-bit chunks make the candidate set quadratic in the
+    # hot buckets, so shuffling it was the dominant cost of the operator).
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    ).alias("hamming")
+    return (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -253,13 +263,11 @@ def simhash_near_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            hamming,
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
-    return cand.select("doc_a", "doc_b", hamming).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
