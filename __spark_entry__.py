@@ -73,7 +73,13 @@ def _fixtures() -> str:
 # ---------------------------------------------------------------------------
 
 def _links_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # project to the two source columns, then restore scan parallelism BEFORE
+    # the url/host string building: orders is a 2-row-group single file (≤2
+    # scan tasks), and every links-view consumer (q01/q05/q08/q09/q37) runs
+    # its string expressions in the stage that contains the scan. The
+    # repartition shuffles 16 bytes/row so the CASE/concat/md5 work downstream
+    # runs on every core (q05 measured 3.5 s → 1.5 s at sf1.0).
+    o = _par(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"), "o_orderkey")
     host = F.concat(
         F.lit("host"), (F.col("o_custkey") % 40).cast("string"), F.lit(".example.com")
     )
@@ -108,11 +114,24 @@ _LINKS_SQL = """
 # ---------------------------------------------------------------------------
 
 def q01_url_blocklist(spark, sf_dir):
-    """F6 substring blocklist + F7 length gate (crawlingathome.py:40, 71-74)."""
+    """F6 substring blocklist + F7 length gate (crawlingathome.py:40, 71-74).
+
+    The explode(array(struct(...))) hop is a MATERIALIZATION BARRIER (round
+    6): without it Catalyst inlines the url-building concat/CASE expression
+    into every one of the 6 blocklist disjuncts plus the length gate, so each
+    row rebuilds the url string up to 8× inside the filter (codegen
+    subexpression elimination cannot hoist exprs out of short-circuiting OR
+    branches). Generate output attributes are real columns — the url is built
+    once per row, and the filter evaluates against the stored value
+    (measured 3.3 s → 1.4 s at sf1.0, identical rows). Semantics unchanged:
+    explode of a 1-element array is a per-row identity."""
     from functools import reduce
     from operator import or_
 
     links = _links_view(spark, sf_dir)
+    links = links.select(
+        F.explode(F.array(F.struct("link_id", "url"))).alias("_s")
+    ).select("_s.link_id", "_s.url")
     low = F.lower(F.col("url"))
     blocked = reduce(or_, [low.contains(b) for b in _BLOCK])
     return links.filter(~blocked & (F.length("url") <= 2048)).select("link_id", "url")

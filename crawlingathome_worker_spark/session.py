@@ -46,9 +46,31 @@ def get_spark(
         # throughput vs 10k-row batches (fewer IPC flushes; batches are bounded
         # by partition row counts anyway)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-        # Broadcast threshold: robots/seen-dim tables are small; let Spark
-        # broadcast up to 64 MB before falling back to shuffle joins.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold: 16 MB STATIC estimate (round 6, was 64 MB).
+        # File-source estimates scale the file size by the pruned-column
+        # ratio, so at 64 MB a column-pruned multi-million-row FACT table
+        # passed the static test: TPC-H Q5's plan broadcast the 1.5M-row
+        # orders AND the 6M-row lineitem scans (driver collect + giant hash
+        # relations — the dominant cost of the query, and an OOM risk at any
+        # real scale). 16 MB keeps genuine dim tables (robots, nation,
+        # customer slices) broadcasting; anything bigger must earn a
+        # broadcast through AQE's RUNTIME size (adaptive threshold below) —
+        # measured post-shuffle bytes, not an estimate, so a filtered join
+        # side that is actually small still promotes to broadcast.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_BROADCAST_THRESHOLD", str(16 * 1024 * 1024)),
+        )
+        # Allow shuffled-hash joins where the per-partition build side fits
+        # (guide §3.1/§9): skips the two sort passes of sort-merge. The AQE
+        # threshold converts a planned sort-merge to shuffled-hash at runtime
+        # from MEASURED map sizes. A/B on TPC-H Q3/Q5 at sf1.0: ~8-10% off
+        # the join stages; equivalence guaranteed (same join, no sort).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.ui.enabled", "false")

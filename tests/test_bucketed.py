@@ -25,13 +25,14 @@ def test_bucketed_join_skips_big_side_shuffle(spark, fx_dir):
         .select("url", "image_id")
     )
     # disable auto-broadcast so the test observes the shuffle structure itself
+    _saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = scheduled.join(bucketed.select("image_id", "bytes"), "image_id")
         joined.collect()
         plan = joined._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_thr)
 
     # exactly ONE exchange: the scheduled side; the bucketed scan feeds the join
     # directly (its hashpartitioning comes from the bucket spec). AQE prints
@@ -98,13 +99,14 @@ def test_wave_fetch_join_no_exchange_on_bucketed_pairs(spark, fx_dir):
 
     # AQE off for a single clean physical tree (no Final/Initial duplication);
     # bucket-pruned scans don't depend on AQE
+    _saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         rows_b, plan_b = wave_fetch_plan(bucketed)
         rows_p, plan_p = wave_fetch_plan(plain)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_thr)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert len(rows_b) == len(rows_p) > 0
     # the bucketed scan feeds the join directly — its hashpartitioning comes
