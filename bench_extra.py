@@ -46,6 +46,7 @@ def main() -> None:
     ap.add_argument("--tag", default="probe", help="suffix for plan files")
     ap.add_argument("--plans-dir", default=None, help="capture explain() here")
     ap.add_argument("--skip-noop", action="store_true", help="only count() timing")
+    ap.add_argument("--plan-only", action="store_true", help="capture plans, no timing")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -78,6 +79,9 @@ def main() -> None:
             with open(os.path.join(args.plans_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(plan)
         rec: dict = {}
+        if args.plan_only:
+            out[name] = rec
+            continue
         for mode in ([] if args.skip_noop else ["noop"]) + ["count"]:
             times = []
             for _ in range(args.runs):

@@ -228,13 +228,40 @@ def hash64_band_chunks(col: str, max_hamming: int) -> list:
     return chunks
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count over uint64 (SWAR; numpy<2 lacks
+    bitwise_count). Exact for all 64-bit values."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def simhash_near_pairs(
     fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by banded SimHash: (max_hamming + 1) bit-bands over the
     64-bit fingerprint; hamming ≤ max_hamming ⇒ at least one band equal
     (pigeonhole — full candidate recall for ANY radius, not just ≤ 3).
-    → (doc_a, doc_b, hamming)."""
+    → (doc_a, doc_b, hamming).
+
+    Round-6 bucket-local executor: rows shuffle ONCE on the (band, chunk)
+    bucket key; each task pairs and hamming-verifies inside its buckets with
+    vectorized numpy (XOR broadcast + SWAR popcount), emitting only
+    radius-surviving pairs. The previous band self-join materialized the full
+    quadratic candidate set through the join stage — 24.6M candidate rows at
+    50k sf1.0 docs, concentrated in a few hot 16-bit chunks, so single tasks
+    ground through millions of row pairs at JVM row-at-a-time speed. Here the
+    same hot bucket is one m×m uint64 matrix op (chunked to bound memory).
+    Result-identical: same candidate buckets (pigeonhole recall intact), same
+    integer hamming, same doc_a < doc_b orientation, duplicate collapse across
+    bands on the few survivors."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_type = fps.schema[id_col].dataType
     bands = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -242,30 +269,73 @@ def simhash_near_pairs(
             "band", "chunk"
         ),
     )
-    l, r = bands.alias("l"), bands.alias("r")
-    # hamming is computed IN the join projection and filtered BEFORE the
-    # duplicate-pair collapse: it is a pure function of the pair, so filter and
-    # dropDuplicates commute — identical result set — but the dedup exchange
-    # then carries only radius-surviving pairs instead of every banded
-    # candidate (24.6M candidate rows vs a few thousand survivors on the 50k-doc
-    # sf1.0 table; skewed 16-bit chunks make the candidate set quadratic in the
-    # hot buckets, so shuffling it was the dominant cost of the operator).
-    hamming = F.bit_count(
-        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-    ).alias("hamming")
+    out_schema = StructType(
+        [
+            StructField("doc_a", id_type),
+            StructField("doc_b", id_type),
+            StructField("hamming", IntegerType()),
+        ]
+    )
+    radius = int(max_hamming)
+    id_name = id_col
+    p = int(fps.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def _pair_partition(batches):
+        # hash partitioning on exactly (band, chunk) co-locates each bucket in
+        # one partition, but a bucket may span Arrow batches — concat first
+        chunks_in = list(batches)
+        if not chunks_in:
+            return
+        pdf = pd.concat(chunks_in, ignore_index=True) if len(chunks_in) > 1 else chunks_in[0]
+        if len(pdf) < 2:
+            return
+        band = pdf["band"].to_numpy()
+        chunk = pdf["chunk"].to_numpy()
+        sh = pdf["simhash"].to_numpy().view(np.uint64)
+        ids = pdf[id_name].to_numpy()
+        order = np.lexsort((chunk, band))
+        band, chunk, sh, ids = band[order], chunk[order], sh[order], ids[order]
+        is_new = np.empty(len(band), dtype=bool)
+        is_new[0] = True
+        is_new[1:] = (band[1:] != band[:-1]) | (chunk[1:] != chunk[:-1])
+        starts = np.flatnonzero(is_new)
+        ends = np.append(starts[1:], len(band))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            g_sh = sh[s:e]
+            g_ids = ids[s:e]
+            step = max(64, min(m, 2_000_000 // m))  # ≤ ~16 MB per XOR block
+            for i0 in range(0, m - 1, step):
+                blk = g_sh[i0 : min(m, i0 + step)]
+                h = _popcount64(blk[:, None] ^ g_sh[None, :])
+                li, lj = np.nonzero(h <= radius)
+                keep = (li + i0) < lj  # strict upper triangle, global indices
+                if not keep.any():
+                    continue
+                li, lj = li[keep], lj[keep]
+                ia, ib = g_ids[li + i0], g_ids[lj]
+                swap = ib < ia  # emit doc_a < doc_b like the legacy l.id < r.id
+                a = np.where(swap, ib, ia)
+                b = np.where(swap, ia, ib)
+                distinct = a != b  # duplicate-id rows never pair (strict <)
+                out_a.append(a[distinct])
+                out_b.append(b[distinct])
+                out_h.append(h[li, lj][distinct].astype(np.int32))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
+
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            hamming,
-        )
-        .filter(F.col("hamming") <= max_hamming)
+        bands.repartition(p, "band", "chunk")
+        .mapInPandas(_pair_partition, schema=out_schema)
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
