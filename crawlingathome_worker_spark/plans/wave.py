@@ -153,6 +153,9 @@ def run_wave(
     `shard_key` identifies the input shard in the manifest so resume logic can
     skip exactly the committed shards (wave_no alone is ambiguous once drain
     waves — which also advance it — enter the history)."""
+    import time as _wtime
+
+    _t_entry = _wtime.perf_counter()  # profile anchor (SPARK_GRAFT_WAVE_TIMING)
     parent = wh.latest()
     manifest = wh.new_manifest(parent)
     manifest["shard_key"] = shard_key
@@ -761,7 +764,8 @@ def run_wave(
     if _timing:
         _t3 = _time.perf_counter()
         print(
-            f"[wave-timing] wave={wave_no} stageA_status={_t1 - _t0:.3f}s"
+            f"[wave-timing] wave={wave_no} prep={_t0 - _t_entry:.3f}s"
+            f" stageA_status={_t1 - _t0:.3f}s"
             f" writes={_t2 - _t1:.3f}s commit={_t3 - _t2:.3f}s",
             file=_sys.stderr,
         )
