@@ -35,7 +35,24 @@ from pyspark.sql import functions as F
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """→ distinct undirected edges as (u=min, v=max), self-loops dropped."""
+    """→ distinct undirected edges as (u=min, v=max), self-loops dropped.
+
+    Fails fast on non-integral id columns (ADVICE r5): the long cast below
+    turns uncastable values into nulls, and the null filter would then
+    silently drop EVERY edge — component_keep_filter fed string image keys
+    would become a dedup no-op with no error. Arbitrary id types go through
+    component_members, which dense-ranks them to longs first."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for c in (src, dst):
+        t = edges.schema[c].dataType
+        if not isinstance(t, integral):
+            raise TypeError(
+                f"connected_components requires integral node ids; column {c!r} "
+                f"is {t.simpleString()} — map arbitrary ids through "
+                "component_members (dense-rank) or hash them (xxhash64) first"
+            )
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
     return (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))

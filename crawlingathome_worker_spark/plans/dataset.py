@@ -59,8 +59,17 @@ def finalize_pairs(
         if dedup_strategy == "component":
             from ..operators.components import component_members
 
-            return component_members(pairs, src=a, dst=b).select(
-                F.col(a).cast(out_type).alias(id_col)
+            # cast BACK to the id's native type BEFORE ranking (ADVICE r5):
+            # the pHash stage feeds string-cast ids, and component_members
+            # picks the kept representative by min in the node column's sort
+            # order — string order would keep "10" over "2" for numeric ids,
+            # violating the documented keep-min-native-id / greedy-parity
+            # contract. Casting first makes min-rank ≡ greedy's least().
+            typed = pairs.select(
+                F.col(a).cast(out_type).alias(a), F.col(b).cast(out_type).alias(b)
+            )
+            return component_members(typed, src=a, dst=b).select(
+                F.col(a).alias(id_col)
             )
         return pairs.select(
             F.greatest(F.col(a).cast(out_type), F.col(b).cast(out_type)).alias(id_col)

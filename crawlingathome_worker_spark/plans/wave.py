@@ -53,6 +53,13 @@ def _obs_count(obs: Observation, df: DataFrame) -> int:
 
 _release_warned = False
 
+# serializes the log4j level raise/restore inside _release_checkpoint —
+# concurrent pool-thread releases must not capture another release's ERROR
+# as their "previous" level (ADVICE r5)
+import threading as _threading
+
+_LOG4J_LOCK = _threading.Lock()
+
 
 def _fold_ckpt(df: DataFrame) -> DataFrame:
     """localCheckpoint that cannot strand blocks. eager=True registers the
@@ -95,24 +102,28 @@ def _release_checkpoint(df: DataFrame) -> None:
         # (VERDICT r4 item 3). Scope an ERROR-level rule on exactly the
         # emitting logger around the unpersist; restore afterwards. If the
         # log4j API shape changes, degrade to the noisy-but-correct release.
-        # (Concurrent releases from pool threads can at worst let one
-        # expected line slip through the window — benign.)
-        prev = None
-        try:
-            log4j = df.sparkSession._jvm.org.apache.logging.log4j
-            lname = "org.apache.spark.rdd.MapPartitionsRDD"
-            prev = log4j.LogManager.getLogger(lname).getLevel()
-            log4j.core.config.Configurator.setLevel(lname, log4j.Level.ERROR)
-        except Exception:
+        # The raise→unpersist→restore window is serialized by _LOG4J_LOCK
+        # (ADVICE r5): releases run concurrently from pool threads, and an
+        # unlocked interleave could read ERROR as a thread's "prev" level and
+        # restore it last — permanently suppressing genuine warnings from
+        # that logger, not just leaking one line.
+        with _LOG4J_LOCK:
             prev = None
-        try:
-            jrdd.unpersist(False)
-        finally:
-            if prev is not None:
-                try:
-                    log4j.core.config.Configurator.setLevel(lname, prev)
-                except Exception:
-                    pass
+            try:
+                log4j = df.sparkSession._jvm.org.apache.logging.log4j
+                lname = "org.apache.spark.rdd.MapPartitionsRDD"
+                prev = log4j.LogManager.getLogger(lname).getLevel()
+                log4j.core.config.Configurator.setLevel(lname, log4j.Level.ERROR)
+            except Exception:
+                prev = None
+            try:
+                jrdd.unpersist(False)
+            finally:
+                if prev is not None:
+                    try:
+                        log4j.core.config.Configurator.setLevel(lname, prev)
+                    except Exception:
+                        pass
     except Exception as e:
         if not _release_warned:
             _release_warned = True

@@ -138,3 +138,31 @@ def test_max_iter_exhaustion_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(64)], "a long, b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, max_iter=1)
+
+
+def test_finalize_component_keeps_numeric_min_across_string_cast(spark):
+    """The pHash stage casts ids to STRING for the banded pair join; the
+    component drop-set must still pick representatives in the id's NATIVE
+    order (ADVICE r5): cluster {2, 10} keeps 2 (numeric min) even though
+    string order would keep "10"."""
+    from crawlingathome_worker_spark.plans.dataset import finalize_pairs
+
+    rows = [
+        (2, 0b1010101, "caption two", 0.9),
+        (10, 0b1010100, "entirely different words", 0.9),  # hamming 1 from 2's
+    ]
+    raw = spark.createDataFrame(
+        rows, "sample_id long, phash long, caption string, score double"
+    )
+    final = finalize_pairs(raw, dedup_strategy="component")["final"]
+    assert sorted(r["sample_id"] for r in final.collect()) == [2]
+
+
+def test_connected_components_rejects_non_integral_ids(spark):
+    """String node ids would cast to all-null longs and silently drop every
+    edge (a dedup no-op); _canon must fail fast instead (ADVICE r5)."""
+    from crawlingathome_worker_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([("img_a", "img_b")], "x string, y string")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(edges, src="x", dst="y")
