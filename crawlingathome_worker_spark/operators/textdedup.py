@@ -131,6 +131,13 @@ def minhash_lsh_pairs(
     # the join projection so the duplicate-pair collapse downstream shuffles
     # three scalars per THRESHOLD-SURVIVING candidate instead of two
     # num_perm-long arrays per raw banded match.
+    # shuffle_hash hint (round 6): the planner otherwise BROADCASTS one banded
+    # side — the static estimate sees the small parquet file, not the
+    # num_perm-array rows exploded ×bands (hundreds of MB at 50k docs, the
+    # whole corpus at scale), and the broadcast build also defeats
+    # ReuseExchange so the signature UDF runs twice. Forcing the shuffle join
+    # restores the single reused (band, bucket) exchange: measured 3.42 s →
+    # 1.85 s at sf1.0, and it is the only shape that survives 100 TB.
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -142,7 +149,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ).hint("shuffle_hash")
     left = banded.alias("l")
     right = banded.alias("r")
     est = (
